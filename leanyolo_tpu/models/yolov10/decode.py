@@ -1,0 +1,259 @@
+"""Decode paths: NMS-free top-k and masked class-wise NMS.
+
+TPU-native counterparts of the reference postprocessing
+(reference: leanyolo/models/yolov10/postprocess.py:48-261 and the
+fixed-shape export wrapper, models/yolov10/export.py:126-198).
+
+Both decoders are single jitted programs over static shapes:
+
+- `decode_topk` replicates the official YOLOv10 NMS-free eval decode: DFL
+  expectation -> anchor decode -> two-stage top-k over (anchor, class).
+  Output is always [B, k, 6]; nothing is filtered.
+- `decode_nms` replicates the reference's NMS decode with the export
+  wrapper's fixed-shape contract: confidence masking, pre-top-k candidate
+  capping, one greedy NMS pass per image (the class+image "offset trick"
+  collapses class-wise NMS into a single pass), and `(detections, num_dets)`
+  outputs instead of variable-length lists.
+
+Inputs are NHWC pyramids ([B, H, W, 4*reg_max + nc]); level order must match
+`strides`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.anchors import dfl_expectation, dist2bbox, make_anchors
+from ...ops.boxes import nms_fixed
+
+
+def _flatten_pyramid(preds: Sequence[jnp.ndarray], num_classes: int, strides: Sequence[int]):
+    """Concat levels -> (boxes [B,A,4] in pixels, cls logits [B,A,nc])."""
+    assert len(preds) == len(strides)
+    b = preds[0].shape[0]
+    c_total = preds[0].shape[-1]
+    reg_max = (c_total - num_classes) // 4
+    assert 4 * reg_max + num_classes == c_total, "invalid DFL channel layout"
+
+    hw_shapes = [(p.shape[1], p.shape[2]) for p in preds]
+    anchors, stride_t = make_anchors(hw_shapes, strides, dtype=preds[0].dtype)
+
+    flat = jnp.concatenate([p.reshape(b, -1, c_total) for p in preds], axis=1)  # [B, A, C]
+    box_logits = flat[..., : 4 * reg_max]
+    cls_logits = flat[..., 4 * reg_max :]
+
+    dist = dfl_expectation(box_logits, reg_max)  # [B, A, 4]
+    boxes = dist2bbox(dist, anchors[None], xywh=False) * stride_t[None]  # pixels
+    return boxes, cls_logits
+
+
+@partial(jax.jit, static_argnames=("num_classes", "strides", "max_det"))
+def decode_topk(
+    preds: Sequence[jnp.ndarray],
+    *,
+    num_classes: int,
+    strides: Sequence[int] = (8, 16, 32),
+    max_det: int = 300,
+) -> jnp.ndarray:
+    """Official NMS-free two-stage top-k decode.
+
+    Parity: leanyolo/models/yolov10/postprocess.py:167-261 (same two-stage
+    selection: top-k anchors by best class score, then top-k over the
+    flattened (anchor, class) pairs of the survivors).
+
+    Returns:
+        [B, k, 6] with columns [x1, y1, x2, y2, score, cls]; k = min(max_det, A).
+    """
+    boxes, cls_logits = _flatten_pyramid(list(preds), num_classes, strides)
+    scores = jax.nn.sigmoid(cls_logits)  # [B, A, nc]
+    b, a, nc = scores.shape
+    k = min(max_det, a)
+
+    max_per_anchor = jnp.max(scores, axis=-1)  # [B, A]
+    _, top_anchor_idx = jax.lax.top_k(max_per_anchor, k)  # [B, k]
+    sel_scores = jnp.take_along_axis(scores, top_anchor_idx[..., None], axis=1)  # [B, k, nc]
+
+    flat_vals, flat_idx = jax.lax.top_k(sel_scores.reshape(b, -1), k)  # [B, k]
+    rel_anchor = flat_idx // nc
+    cls_idx = (flat_idx % nc).astype(boxes.dtype)
+    final_anchor_idx = jnp.take_along_axis(top_anchor_idx, rel_anchor, axis=1)  # [B, k]
+
+    final_boxes = jnp.take_along_axis(boxes, final_anchor_idx[..., None], axis=1)  # [B, k, 4]
+    return jnp.concatenate([final_boxes, flat_vals[..., None], cls_idx[..., None]], axis=-1)
+
+
+def _nms_single(
+    boxes: jnp.ndarray,  # [K, 4]
+    scores: jnp.ndarray,  # [K]
+    cls_idx: jnp.ndarray,  # [K]
+    *,
+    iou_thresh: float,
+    conf_thresh: float,
+    max_det: int,
+    class_wise: bool,
+    group_offset: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS on one image's fixed-size candidate set -> ([max_det, 6], n)."""
+    valid = scores > conf_thresh
+    masked_scores = jnp.where(valid, scores, -jnp.inf)
+    if class_wise:
+        off = (cls_idx * group_offset)[:, None]
+        nms_boxes = boxes + off
+    else:
+        nms_boxes = boxes
+    keep = nms_fixed(nms_boxes, masked_scores, iou_thresh) & valid
+
+    kept_scores = jnp.where(keep, scores, -jnp.inf)
+    k_out = min(max_det, boxes.shape[0])
+    top_vals, top_idx = jax.lax.top_k(kept_scores, k_out)
+    out_valid = top_vals > -jnp.inf
+    out_boxes = jnp.where(out_valid[:, None], boxes[top_idx], 0.0)
+    out_scores = jnp.where(out_valid, top_vals, 0.0)
+    out_cls = jnp.where(out_valid, cls_idx[top_idx], 0.0)
+    dets = jnp.concatenate([out_boxes, out_scores[:, None], out_cls[:, None]], axis=-1)
+    if k_out < max_det:
+        dets = jnp.pad(dets, ((0, max_det - k_out), (0, 0)))
+        out_valid = jnp.pad(out_valid, (0, max_det - k_out))
+    return dets, jnp.sum(out_valid).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_classes", "strides", "conf_thresh", "iou_thresh", "max_det", "pre_topk", "class_wise", "multi_label"),
+)
+def decode_nms(
+    preds: Sequence[jnp.ndarray],
+    *,
+    num_classes: int,
+    strides: Sequence[int] = (8, 16, 32),
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1000,
+    class_wise: bool = False,
+    multi_label: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Confidence filter + greedy NMS with a fixed-shape contract.
+
+    Behavior follows the reference NMS decode
+    (leanyolo/models/yolov10/postprocess.py:104-163: best-class-per-anchor
+    candidates, plain greedy NMS, max_det cap); the fixed-shape mechanics —
+    pre-top-k candidate capping, class+image offset trick (`class_wise=True`),
+    and the `(detections, num_dets)` output — follow the export wrapper
+    (models/yolov10/export.py:145-198).
+
+    Args:
+        multi_label: if True, candidates are the top (anchor, class) pairs
+            (export wrapper semantics); if False, one candidate per anchor at
+            its best class (postprocess.py semantics).
+
+    Returns:
+        detections: [B, max_det, 6]; invalid rows zeroed.
+        num_dets: [B] int32 count of valid rows (valid rows come first).
+    """
+    boxes, cls_logits = _flatten_pyramid(list(preds), num_classes, strides)
+    scores_all = jax.nn.sigmoid(cls_logits)  # [B, A, nc]
+    b, a, nc = scores_all.shape
+
+    if multi_label:
+        k_pre = min(pre_topk, a * nc)
+        flat = scores_all.reshape(b, a * nc)
+        cand_scores, pre_idx = jax.lax.top_k(flat, k_pre)
+        anc_idx = pre_idx // nc
+        cand_cls = (pre_idx % nc).astype(boxes.dtype)
+    else:
+        best_scores = jnp.max(scores_all, axis=-1)
+        best_cls = jnp.argmax(scores_all, axis=-1).astype(boxes.dtype)
+        k_pre = min(pre_topk, a)
+        cand_scores, anc_idx = jax.lax.top_k(best_scores, k_pre)
+        cand_cls = jnp.take_along_axis(best_cls, anc_idx, axis=1)
+    cand_boxes = jnp.take_along_axis(boxes, anc_idx[..., None], axis=1)  # [B, k_pre, 4]
+
+    # Offset per class only: batch separation is free because we vmap.
+    group_offset = 8192.0 * 10.0
+    fn = partial(
+        _nms_single,
+        iou_thresh=iou_thresh,
+        conf_thresh=conf_thresh,
+        max_det=max_det,
+        class_wise=class_wise,
+        group_offset=group_offset,
+    )
+    return jax.vmap(fn)(cand_boxes, cand_scores, cand_cls)
+
+
+@partial(jax.jit, static_argnames=("num_classes", "strides", "conf_thresh", "iou_thresh", "max_det", "pre_topk"))
+def decode_direct_nms(
+    preds: Sequence[jnp.ndarray],
+    *,
+    num_classes: int,
+    strides: Sequence[int] = (8, 16, 32),
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1000,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Legacy direct-offset layout decode ([B, H, W, 4 + nc] per level).
+
+    Parity: leanyolo/models/yolov10/postprocess.py:70-102 — sigmoid center
+    offsets plus exp width/height, then the same fixed-shape NMS as above.
+    """
+    b = preds[0].shape[0]
+    boxes_l, scores_l = [], []
+    for p, s in zip(preds, strides):
+        _, h, w, c = p.shape
+        assert c == 4 + num_classes
+        flat = p.reshape(b, h * w, c)
+        bbox, cls_logits = flat[..., :4], flat[..., 4:]
+        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=p.dtype), jnp.arange(w, dtype=p.dtype), indexing="ij")
+        gx = gx.reshape(1, -1)
+        gy = gy.reshape(1, -1)
+        cx = (jax.nn.sigmoid(bbox[..., 0]) + gx) * s
+        cy = (jax.nn.sigmoid(bbox[..., 1]) + gy) * s
+        bw = jnp.exp(bbox[..., 2]) * s
+        bh = jnp.exp(bbox[..., 3]) * s
+        boxes_l.append(jnp.stack((cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2), axis=-1))
+        scores_l.append(jax.nn.sigmoid(cls_logits))
+    boxes = jnp.concatenate(boxes_l, axis=1)
+    scores_all = jnp.concatenate(scores_l, axis=1)
+
+    best_scores = jnp.max(scores_all, axis=-1)
+    best_cls = jnp.argmax(scores_all, axis=-1).astype(boxes.dtype)
+    k_pre = min(pre_topk, boxes.shape[1])
+    cand_scores, anc_idx = jax.lax.top_k(best_scores, k_pre)
+    cand_cls = jnp.take_along_axis(best_cls, anc_idx, axis=1)
+    cand_boxes = jnp.take_along_axis(boxes, anc_idx[..., None], axis=1)
+
+    fn = partial(
+        _nms_single,
+        iou_thresh=iou_thresh,
+        conf_thresh=conf_thresh,
+        max_det=max_det,
+        class_wise=False,
+        group_offset=0.0,
+    )
+    return jax.vmap(fn)(cand_boxes, cand_scores, cand_cls)
+
+
+def detections_to_list(dets, num_dets=None, conf_thresh: float = 0.0) -> List:
+    """Host-side: fixed [B, k, 6] -> list of per-image numpy arrays [Ni, 6].
+
+    Mirrors the reference's nested-list return type
+    (postprocess.py:148-163, 261) at the numpy boundary.
+    """
+    import numpy as np
+
+    dets = np.asarray(dets)
+    out = []
+    for i in range(dets.shape[0]):
+        d = dets[i]
+        if num_dets is not None:
+            d = d[: int(np.asarray(num_dets)[i])]
+        if conf_thresh > 0:
+            d = d[d[:, 4] > conf_thresh]
+        out.append(d)
+    return out
