@@ -1,0 +1,157 @@
+"""YOLOv10 dual-assignment detection loss (jit-compatible, fixed shapes).
+
+TPU-native counterpart of the reference losses
+(reference: leanyolo/models/yolov10/losses.py:11-190): BCE classification
+normalized by the summed target scores, CIoU + DFL regression on positives
+(lambda cls/iou/dfl = 1/1/1.5), computed for the one2many branch with TAL
+top-k 10 and the one2one branch with top-k 1, then summed.
+
+Differences from the torch design, by construction:
+- targets arrive as pre-padded fixed-shape tensors [B, Nmax] (the reference
+  pads internally per batch at losses.py:82-101; on TPU the pad size must be
+  static, so the data pipeline owns it);
+- the denominator is a traced value (no host sync);
+- everything is batched — no Python loops over images.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.anchors import bbox2dist, dfl_expectation, dist2bbox, make_anchors
+from ...ops.boxes import box_ciou_paired
+from ...ops.tal import task_aligned_assign
+
+
+def dfl_loss(logits: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Distribution Focal Loss, summed over items and sides.
+
+    Args:
+        logits: [..., 4 * reg_max]
+        target: [..., 4] fractional bin positions in [0, reg_max - 1].
+
+    Parity: leanyolo/models/yolov10/losses.py:31-58 (two-bin interpolated NLL).
+    """
+    shape = logits.shape[:-1]
+    x = logits.reshape(shape + (4, reg_max))
+    t = jnp.clip(target, 0.0, reg_max - 1 - 1e-3)
+    lo = jnp.floor(t)
+    hi = lo + 1
+    wl = jax.lax.stop_gradient(hi - t)
+    wu = jax.lax.stop_gradient(t - lo)
+    logp = jax.nn.log_softmax(x, axis=-1)
+    nll_l = -jnp.take_along_axis(logp, lo.astype(jnp.int32)[..., None], axis=-1)[..., 0]
+    nll_u = -jnp.take_along_axis(logp, hi.astype(jnp.int32)[..., None], axis=-1)[..., 0]
+    return nll_l * wl + nll_u * wu  # [..., 4]; caller masks + sums
+
+
+def _bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise binary cross-entropy with logits (torch-equivalent)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _branch_loss(
+    feats: Sequence[jnp.ndarray],
+    gt_labels: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    *,
+    num_classes: int,
+    reg_max: int,
+    strides: Tuple[int, ...],
+    tal_topk: int,
+    lambda_cls: float = 1.0,
+    lambda_iou: float = 1.0,
+    lambda_dfl: float = 1.5,
+) -> Dict[str, jnp.ndarray]:
+    """One head branch's loss (reference _v8_detection_loss, losses.py:104-169)."""
+    b = feats[0].shape[0]
+    c_total = 4 * reg_max + num_classes
+
+    flat = jnp.concatenate([f.reshape(b, -1, c_total) for f in feats], axis=1)  # [B, A, C]
+    pred_distri = flat[..., : 4 * reg_max]
+    pred_scores = flat[..., 4 * reg_max :]
+
+    hw_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_xy, stride_t = make_anchors(hw_shapes, strides, dtype=flat.dtype)  # [A,2], [A,1]
+
+    exp_ltrb = dfl_expectation(pred_distri, reg_max)  # [B, A, 4] feature units
+    pred_bboxes = dist2bbox(exp_ltrb, anchor_xy[None])  # feature space
+
+    assign = task_aligned_assign(
+        pred_scores,
+        pred_bboxes * stride_t[None],
+        anchor_xy * stride_t,
+        gt_labels,
+        gt_bboxes,
+        mask_gt,
+        topk=tal_topk,
+        num_classes=num_classes,
+    )
+
+    denom = jnp.maximum(jnp.sum(assign.target_scores), 1.0)
+    cls_loss = jnp.sum(_bce_with_logits(pred_scores, assign.target_scores)) / denom
+
+    fg = assign.fg_mask.astype(flat.dtype)  # [B, A]
+    tgt_feat = assign.target_bboxes / stride_t[None]  # back to feature space
+    ious = box_ciou_paired(pred_bboxes, tgt_feat)  # [B, A]
+    iou_term = jnp.sum((1.0 - ious) * fg) / denom
+
+    t_ltrb = bbox2dist(anchor_xy[None], tgt_feat, reg_max - 1)  # [B, A, 4]
+    dfl_terms = dfl_loss(pred_distri, t_ltrb, reg_max)  # [B, A, 4]
+    dfl_term = jnp.sum(dfl_terms * fg[..., None]) / denom
+
+    reg_loss = lambda_iou * iou_term + lambda_dfl * dfl_term
+    total = lambda_cls * cls_loss + reg_loss
+    return {"total": total, "cls": cls_loss, "reg": reg_loss}
+
+
+def detection_loss_v10(
+    raw,
+    gt_labels: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    *,
+    num_classes: int,
+    reg_max: int = 16,
+    strides: Tuple[int, ...] = (8, 16, 32),
+) -> Dict[str, jnp.ndarray]:
+    """YOLOv10 loss: one2many (TAL top-k 10) + one2one (top-k 1).
+
+    Args:
+        raw: {'one2many': [P3,P4,P5], 'one2one': [...]} NHWC maps, or a plain
+            list for a one2many-only loss (reference losses.py:172-190).
+        gt_labels: [B, Nmax] int class ids (padding value irrelevant).
+        gt_bboxes: [B, Nmax, 4] xyxy in input pixels (letterbox space).
+        mask_gt: [B, Nmax] bool validity.
+    """
+    kw = dict(num_classes=num_classes, reg_max=reg_max, strides=strides)
+    if isinstance(raw, dict):
+        l_many = _branch_loss(raw["one2many"], gt_labels, gt_bboxes, mask_gt, tal_topk=10, **kw)
+        l_one = _branch_loss(raw["one2one"], gt_labels, gt_bboxes, mask_gt, tal_topk=1, **kw)
+        return {k: l_many[k] + l_one[k] for k in ("total", "cls", "reg")}
+    return _branch_loss(raw, gt_labels, gt_bboxes, mask_gt, tal_topk=10, **kw)
+
+
+def build_padded_targets(targets: List[dict], max_boxes: int):
+    """Host-side: list of {'boxes': [Ni,4], 'labels': [Ni]} -> padded arrays.
+
+    Mirrors the reference packing (losses.py:82-101) but with a caller-chosen
+    static Nmax so the jitted loss never recompiles.
+    """
+    import numpy as np
+
+    bsz = len(targets)
+    gt_labels = np.zeros((bsz, max_boxes), np.int32)
+    gt_bboxes = np.zeros((bsz, max_boxes, 4), np.float32)
+    mask_gt = np.zeros((bsz, max_boxes), bool)
+    for i, t in enumerate(targets):
+        n = min(int(np.asarray(t["boxes"]).shape[0]), max_boxes)
+        if n:
+            gt_bboxes[i, :n] = np.asarray(t["boxes"], np.float32)[:n]
+            gt_labels[i, :n] = np.asarray(t["labels"], np.int32)[:n]
+            mask_gt[i, :n] = True
+    return gt_labels, gt_bboxes, mask_gt

@@ -84,6 +84,40 @@ def box_ciou_pairwise(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(ciou, 0.0, 1.0)
 
 
+def box_ciou_paired(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise CIoU between matched box pairs: [..., 4] x [..., 4] -> [...].
+
+    Same math as `box_ciou_pairwise` (reference: leanyolo/utils/tal.py:55-86)
+    without materializing the N x M matrix — used for the IoU loss where each
+    prediction has exactly one assigned target.
+    """
+    b1, b2 = boxes1, boxes2
+    x1 = jnp.maximum(b1[..., 0], b2[..., 0])
+    y1 = jnp.maximum(b1[..., 1], b2[..., 1])
+    x2 = jnp.minimum(b1[..., 2], b2[..., 2])
+    y2 = jnp.minimum(b1[..., 3], b2[..., 3])
+    inter = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    area1 = jnp.maximum(b1[..., 2] - b1[..., 0], 0.0) * jnp.maximum(b1[..., 3] - b1[..., 1], 0.0)
+    area2 = jnp.maximum(b2[..., 2] - b2[..., 0], 0.0) * jnp.maximum(b2[..., 3] - b2[..., 1], 0.0)
+    union = area1 + area2 - inter + 1e-9
+    iou = inter / union
+
+    cw = jnp.maximum(jnp.maximum(b1[..., 2], b2[..., 2]) - jnp.minimum(b1[..., 0], b2[..., 0]), 0.0)
+    ch = jnp.maximum(jnp.maximum(b1[..., 3], b2[..., 3]) - jnp.minimum(b1[..., 1], b2[..., 1]), 0.0)
+    c2 = cw**2 + ch**2 + 1e-9
+    rho2 = ((b1[..., 0] + b1[..., 2] - b2[..., 0] - b2[..., 2]) / 2) ** 2 + (
+        (b1[..., 1] + b1[..., 3] - b2[..., 1] - b2[..., 3]) / 2
+    ) ** 2
+
+    w1 = jnp.maximum(b1[..., 2] - b1[..., 0], 1e-9)
+    h1 = jnp.maximum(b1[..., 3] - b1[..., 1], 1e-9)
+    w2 = jnp.maximum(b2[..., 2] - b2[..., 0], 1e-9)
+    h2 = jnp.maximum(b2[..., 3] - b2[..., 1], 1e-9)
+    v = (4 / (jnp.pi**2)) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(v / (1 - iou + v + 1e-9))
+    return jnp.clip(iou - (rho2 / c2) - alpha * v, 0.0, 1.0)
+
+
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
