@@ -1,0 +1,92 @@
+"""Benchmark: yolov10s end-to-end inference throughput on one chip.
+
+Measures the jitted normalize->backbone->neck->head->top-k-decode program at
+640x640 in bf16 (fp32 accumulation on the MXU) — the headline BASELINE.json
+metric (images/sec/chip). Prints ONE JSON line.
+
+Measurement notes: on the axon-tunneled TPU, block_until_ready can return
+before remote completion and repeated identical executions may be cached, so
+the benchmark (a) chains iterations with a data dependence inside ONE jitted
+fori_loop program and (b) forces a host readback of a scalar — one tunnel
+round-trip amortized over all iterations.
+
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
+is reported against 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(8, 16, 32), chain: int = 32) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leanyolo_tpu.models.yolov10.decode import decode_topk
+    from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
+
+    model = YOLOv10.create(variant, class_names=[f"c{i}" for i in range(80)])
+    cfg = model.cfg
+    params = model.params
+
+    def forward(p, images):
+        raw = model_apply(p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",))
+        feats = [f.astype(jnp.float32) for f in raw["one2one"]]
+        return decode_topk(feats, num_classes=80, strides=cfg.strides, max_det=300)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chained(p, images, n):
+        def body(_, x):
+            dets = forward(p, x)
+            # Data dependence so iterations can't be elided or deduplicated;
+            # the perturbation is far below fp32 resolution of pixel values.
+            return x + jnp.tanh(jnp.sum(dets)) * 1e-30
+
+        x = jax.lax.fori_loop(0, n, body, images)
+        return jnp.sum(x[0, 0, 0])
+
+    results = {}
+    best_ips, best_bs = 0.0, 0
+    for bs in batch_sizes:
+        x0 = jnp.asarray(np.random.RandomState(0).uniform(0, 255, (bs, imgsz, imgsz, 3)).astype(np.float32))
+        x1 = jnp.asarray(np.random.RandomState(1).uniform(0, 255, (bs, imgsz, imgsz, 3)).astype(np.float32))
+        try:
+            float(chained(params, x0, chain))  # compile + warm at the same static n
+        except Exception:
+            break
+        t0 = time.perf_counter()
+        s = float(chained(params, x1, chain))  # fresh input: no result caching
+        dt = time.perf_counter() - t0
+        assert np.isfinite(s)
+        ips = chain * bs / dt
+        results[bs] = ips
+        if ips > best_ips:
+            best_ips, best_bs = ips, bs
+    return {"best_ips": best_ips, "best_bs": best_bs, "per_bs": results}
+
+
+def main() -> None:
+    r = bench_variant()
+    print(
+        json.dumps(
+            {
+                "metric": "yolov10s_640_bf16_images_per_sec_per_chip",
+                "value": round(r["best_ips"], 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(r["best_ips"] / 1.0, 2),
+                "detail": {
+                    "batch_size": r["best_bs"],
+                    "per_batch_size": {str(k): round(v, 2) for k, v in r["per_bs"].items()},
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Training engine: jitted train step, optax AdamW, freeze/unfreeze, bf16.
+
+TPU-native counterpart of the reference trainers
+(reference: tools/train.py:135-309 baseline; tools/transfer_learn_aquarium.py
+best-practice: param groups with backbone lr-mult 417-424, warmup->cosine
+LambdaLR 427-435, AMP 436/450-461, grad-clip 1.0, in-graph augmentations
+326-353, gradual unfreeze 487-491).
+
+Design notes:
+- one jitted train step for the whole run: freezing is a traced 0/1 flag that
+  multiplies backbone/neck updates, so gradual unfreeze does NOT retrace and
+  optimizer moments live from step 0 (matching torch AdamW param groups);
+- BN running stats ride along as grad aux and merge after the optimizer step;
+- mixed precision = bf16 activations with fp32 params/grads (the TPU analog
+  of the reference's CUDA AMP), selected per-step via a static flag;
+- augmentations (hflip + brightness/contrast, reference transfer:326-353)
+  run inside the same compiled step on device.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.yolov10.layers import BNStats, merge_bn_stats
+from ..models.yolov10.losses import detection_loss_v10
+from ..models.yolov10.model import YOLOv10, model_apply
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    epochs: int = 10
+    warmup_epochs: int = 1
+    bb_lr_mult: float = 0.1  # backbone+neck LR multiplier (transfer default)
+    freeze_backbone: bool = False
+    unfreeze_epoch: int = 5
+    grad_clip: float = 1.0
+    bf16: bool = False
+    augment: bool = False
+    p_hflip: float = 0.5
+    p_bc: float = 0.5
+    steps_per_epoch: int = 100  # for the per-epoch schedule
+
+
+def _is_stats_leaf(path: Tuple) -> bool:
+    """BN running stats + input-normalization buffers are never optimized."""
+    if path and path[0] in ("input_subtract", "input_divide"):
+        return True
+    if len(path) >= 2 and path[-2] == "bn" and path[-1] in ("mean", "var"):
+        return True
+    return False
+
+
+def _is_backbone_leaf(path: Tuple) -> bool:
+    """Reference freeze covers backbone AND neck (tools/train.py:213-217)."""
+    return bool(path) and path[0] in ("backbone", "neck")
+
+
+def label_params(params: Params) -> Params:
+    """'stats' | 'backbone' | 'head' label tree for optax.multi_transform."""
+    from ..models.yolov10.remap import flatten_param_paths, _set_path, _clone_structure
+
+    labels = _clone_structure(params)
+    for path, _ in flatten_param_paths(params):
+        if _is_stats_leaf(path):
+            lbl = "stats"
+        elif _is_backbone_leaf(path):
+            lbl = "backbone"
+        else:
+            lbl = "head"
+        _set_path(labels, path, lbl)
+    return labels
+
+
+def warmup_cosine_schedule(lr: float, *, epochs: int, warmup_epochs: int, steps_per_epoch: int) -> Callable:
+    """Per-epoch warmup->cosine, stepped per epoch like the reference LambdaLR
+    (transfer_learn_aquarium.py:427-435): lr is constant within an epoch."""
+    e_total = max(1, epochs)
+    wu = max(0, min(warmup_epochs, e_total))
+
+    def schedule(step):
+        epoch = step // max(1, steps_per_epoch)
+        warm = (epoch + 1.0) / max(wu, 1)
+        t = (epoch - wu) / max(1, e_total - wu)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        return lr * jnp.where((wu > 0) & (epoch < wu), warm, cos)
+
+    return schedule
+
+
+def make_optimizer(params: Params, cfg: TrainConfig) -> Tuple[optax.GradientTransformation, Params]:
+    labels = label_params(params)
+    head_sched = warmup_cosine_schedule(cfg.lr, epochs=cfg.epochs, warmup_epochs=cfg.warmup_epochs, steps_per_epoch=cfg.steps_per_epoch)
+    bb_sched = warmup_cosine_schedule(cfg.lr * cfg.bb_lr_mult, epochs=cfg.epochs, warmup_epochs=cfg.warmup_epochs, steps_per_epoch=cfg.steps_per_epoch)
+
+    def group(sched):
+        steps = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip and cfg.grad_clip > 0 else []
+        steps.append(optax.adamw(sched, weight_decay=cfg.weight_decay))
+        return optax.chain(*steps)
+
+    tx = optax.multi_transform(
+        {"head": group(head_sched), "backbone": group(bb_sched), "stats": optax.set_to_zero()},
+        labels,
+    )
+    return tx, labels
+
+
+def augment_batch(key, images: jnp.ndarray, gt_boxes: jnp.ndarray, *, p_hflip: float, p_bc: float):
+    """On-device hflip + brightness/contrast in letterbox space.
+
+    Parity: transfer_learn_aquarium.py:326-353 (alpha in [0.8, 1.2],
+    beta in [-16, 16], clamp to [0, 255]; boxes mirror on flip).
+    """
+    b = images.shape[0]
+    w = images.shape[2]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    do_flip = jax.random.uniform(k1, (b,)) < p_hflip
+    flipped = images[:, :, ::-1, :]
+    images = jnp.where(do_flip[:, None, None, None], flipped, images)
+    x1, y1, x2, y2 = (gt_boxes[..., i] for i in range(4))
+    fb = jnp.stack([w - x2, y1, w - x1, y2], axis=-1)
+    gt_boxes = jnp.where(do_flip[:, None, None], fb, gt_boxes)
+
+    do_bc = jax.random.uniform(k2, (b,)) < p_bc
+    alpha = 0.8 + 0.4 * jax.random.uniform(k3, (b,))
+    beta = jax.random.uniform(k4, (b,)) * 32.0 - 16.0
+    jittered = jnp.clip(images * alpha[:, None, None, None] + beta[:, None, None, None], 0.0, 255.0)
+    images = jnp.where(do_bc[:, None, None, None], jittered, images)
+    return images, gt_boxes
+
+
+class Trainer:
+    """Owns the optimizer state and the single compiled train step.
+
+    With `mesh` set, the step runs data-parallel: params/optimizer state are
+    replicated, the batch is sharded on axis 0, and XLA reduces gradients
+    over ICI (GSPMD inserts the psum — nothing manual).
+    """
+
+    def __init__(self, model: YOLOv10, cfg: TrainConfig, *, mesh=None) -> None:
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.tx, self.labels = make_optimizer(model.params, cfg)
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            model.params = shard_params(mesh, model.params)
+        self.opt_state = self.tx.init(model.params)
+        self._step = self._build_step()
+        self.global_step = 0
+
+    def _build_step(self):
+        model_cfg = self.model.cfg
+        nc = self.model.nc
+        cfg = self.cfg
+        tx = self.tx
+        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+
+        def loss_fn(params, images, gt_labels, gt_boxes, gt_mask):
+            stats = BNStats()
+            raw = model_apply(params, images.astype(dtype), model_cfg, train=True, stats=stats)
+            raw = {k: [f.astype(jnp.float32) for f in v] for k, v in raw.items()}
+            losses = detection_loss_v10(raw, gt_labels, gt_boxes, gt_mask, num_classes=nc)
+            return losses["total"], (losses, stats.updates)
+
+        def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask, key, bb_scale):
+            if cfg.augment:
+                images, gt_boxes = augment_batch(key, images, gt_boxes, p_hflip=cfg.p_hflip, p_bc=cfg.p_bc)
+            (_, (losses, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, gt_labels, gt_boxes, gt_mask
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+
+            # Gradual unfreeze: scale backbone/neck updates by a traced 0/1
+            # flag — no retrace at the unfreeze epoch.
+            updates = jax.tree_util.tree_map(
+                lambda lbl, u: u * bb_scale if lbl == "backbone" else u, self.labels, updates
+            )
+            params = optax.apply_updates(params, updates)
+            params = merge_bn_stats(params, bn_updates)
+            return params, opt_state, losses
+
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharded, replicated
+
+            rep = replicated(self.mesh)
+            dat = batch_sharded(self.mesh)
+            rep_tree = lambda t: jax.tree_util.tree_map(lambda _: rep, t)
+            in_shardings = (
+                rep_tree(self.model.params),
+                rep_tree(self.opt_state),
+                dat,  # images
+                dat,  # gt_labels
+                dat,  # gt_boxes
+                dat,  # gt_mask
+                rep,  # key
+                rep,  # bb_scale
+            )
+            return jax.jit(step, in_shardings=in_shardings, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def train_step(self, batch, key) -> Dict[str, float]:
+        cfg = self.cfg
+        epoch = self.global_step // max(1, cfg.steps_per_epoch)
+        frozen = cfg.freeze_backbone and epoch < cfg.unfreeze_epoch
+        bb_scale = jnp.asarray(0.0 if frozen else 1.0, jnp.float32)
+        params, self.opt_state, losses = self._step(
+            self.model.params,
+            self.opt_state,
+            jnp.asarray(batch.images),
+            jnp.asarray(batch.gt_labels),
+            jnp.asarray(batch.gt_boxes),
+            jnp.asarray(batch.gt_mask),
+            key,
+            bb_scale,
+        )
+        self.model.params = params
+        self.global_step += 1
+        return losses

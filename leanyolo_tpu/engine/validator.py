@@ -1,0 +1,168 @@
+"""Batched COCO validation: jitted forward+decode, numpy COCO mAP, CSV log.
+
+TPU-native counterpart of the reference validator
+(reference: tools/val.py:89-307). Differences by design:
+
+- batched fixed-shape inference instead of the reference's batch=1 loop
+  (north star config: batched val);
+- detections stay on device until the whole batch finishes (one transfer);
+- FPS measurement uses block_until_ready with the same 5-warmup/30-iteration
+  protocol (reference val.py:271-307).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.dataset import CocoDetection, DataLoader
+from ..utils.coco_eval import CocoEvaluator
+from .predictor import Predictor
+
+
+def detections_to_coco_results(
+    dets: np.ndarray,
+    num: np.ndarray,
+    metas: Sequence[Optional[dict]],
+    cat_ids: Sequence[int],
+    *,
+    decode: str,
+    conf_for_topk: float = 0.0,
+) -> List[dict]:
+    """Fixed-shape device output -> COCO result dicts (xywh, original pixels).
+
+    Class index -> dataset category_id by sorted id (reference val.py:216-227).
+    """
+    results = []
+    for i, meta in enumerate(metas):
+        if meta is None:  # padding image
+            continue
+        d = dets[i]
+        if decode == "topk":
+            d = d[d[:, 4] > conf_for_topk] if conf_for_topk > 0 else d
+        else:
+            d = d[: int(num[i])]
+        if not len(d):
+            continue
+        gw, gh = meta["gain"]
+        px, py = meta["pad"]
+        oh, ow = meta["orig_hw"]
+        x1 = np.clip((d[:, 0] - px) / gw, 0, ow)
+        y1 = np.clip((d[:, 1] - py) / gh, 0, oh)
+        x2 = np.clip((d[:, 2] - px) / gw, 0, ow)
+        y2 = np.clip((d[:, 3] - py) / gh, 0, oh)
+        for j in range(len(d)):
+            results.append(
+                {
+                    "image_id": int(meta["image_id"]),
+                    "category_id": int(cat_ids[int(d[j, 5])]),
+                    "bbox": [float(x1[j]), float(y1[j]), float(x2[j] - x1[j]), float(y2[j] - y1[j])],
+                    "score": float(d[j, 4]),
+                }
+            )
+    return results
+
+
+def measure_fps(predictor: Predictor, *, batch_size: int = 1, warmup: int = 5, iters: int = 30) -> float:
+    """Throughput of the compiled forward+decode (reference val.py:271-307)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((batch_size, predictor.imgsz, predictor.imgsz, 3), jnp.float32)
+    for _ in range(warmup):
+        d, n = predictor.run_batch(x)
+        x = jnp.zeros_like(x)
+    jax.block_until_ready((d, n))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, n = predictor.run_batch(jnp.zeros((batch_size, predictor.imgsz, predictor.imgsz, 3), jnp.float32))
+    jax.block_until_ready((d, n))
+    dt = time.perf_counter() - t0
+    return (iters * batch_size) / dt
+
+
+def validate_coco(
+    model,
+    *,
+    images_dir: str,
+    ann_json: str,
+    imgsz: int = 640,
+    batch_size: int = 16,
+    decode: str = "topk",
+    conf_thresh: float = 0.001,
+    iou_thresh: float = 0.65,
+    max_det: int = 300,
+    max_images: Optional[int] = None,
+    dtype: str = "float32",
+    workers: int = 8,
+    save_detections: Optional[str] = None,
+    measure_speed: bool = False,
+) -> Dict[str, float]:
+    """Run COCO bbox validation; returns {'map_50_95', 'map_50', 'map_75', ...}.
+
+    Mirrors reference validate_coco semantics (tools/val.py:89-248): top-k
+    decode keeps everything the decoder emits (conf ignored by official
+    protocol); NMS decode applies conf/IoU thresholds.
+    """
+    ds = CocoDetection(images_dir, ann_json, img_size=imgsz, max_images=max_images)
+    loader = DataLoader(ds, batch_size=batch_size, shuffle=False, workers=workers, max_boxes=1)
+
+    predictor = Predictor(
+        model,
+        imgsz=imgsz,
+        decode=decode,
+        conf_thresh=conf_thresh,
+        iou_thresh=iou_thresh,
+        max_det=max_det,
+        dtype=dtype,
+        donate=False,
+    )
+
+    import jax.numpy as jnp
+
+    all_results: List[dict] = []
+    n_images = 0
+    t0 = time.perf_counter()
+    for batch in loader:
+        dets, num = predictor.run_batch(jnp.asarray(batch.images))
+        dets = np.asarray(dets)
+        num = np.asarray(num)
+        metas = [
+            None
+            if m is None
+            else {"image_id": m["image_id"], "gain": m["gain"], "pad": m["pad"], "orig_hw": m["orig_hw"]}
+            for m in batch.meta
+        ]
+        all_results.extend(
+            detections_to_coco_results(dets, num, metas, ds.cat_ids, decode=decode, conf_for_topk=0.0)
+        )
+        n_images += sum(m is not None for m in batch.meta)
+    wall = time.perf_counter() - t0
+
+    if save_detections:
+        os.makedirs(os.path.dirname(os.path.abspath(save_detections)), exist_ok=True)
+        with open(save_detections, "w", encoding="utf-8") as f:
+            json.dump(all_results, f)
+
+    with open(ann_json, "r", encoding="utf-8") as f:
+        gt = json.load(f)
+    if max_images:
+        keep = {im["id"] for im in sorted(gt["images"], key=lambda im: im["id"])[: int(max_images)]}
+        gt = {
+            "images": [im for im in gt["images"] if im["id"] in keep],
+            "annotations": [a for a in gt["annotations"] if a["image_id"] in keep],
+            "categories": gt["categories"],
+        }
+    evaluator = CocoEvaluator(gt)
+    evaluator.add_detections(all_results)
+    stats = evaluator.evaluate()
+    stats["n_images"] = n_images
+    stats["wall_s"] = wall
+    stats["throughput_ips"] = n_images / wall if wall > 0 else 0.0
+    if measure_speed:
+        stats["fps"] = measure_fps(predictor, batch_size=1)
+    return stats

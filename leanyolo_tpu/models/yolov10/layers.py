@@ -49,15 +49,19 @@ class BNStats:
         self.updates[path] = {"mean": mean, "var": var}
 
 
-def merge_bn_stats(params: Params, stats: "BNStats") -> Params:
-    """Return params with BN running stats advanced by the recorded batches."""
-    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
-    for path, upd in stats.updates.items():
+def merge_bn_stats(params: Params, stats) -> Params:
+    """Return params with BN running stats advanced by the recorded batches.
+
+    `stats` is a BNStats or its `.updates` dict ({'path': {'mean','var'}}),
+    e.g. carried out of a grad computation as an aux output.
+    """
+    updates = stats.updates if isinstance(stats, BNStats) else stats
+    out = jax.tree_util.tree_map(lambda x: x, params)  # fresh containers
+    for path, upd in updates.items():
         node = out
-        comps = path.split("/")
-        for c in comps[:-1]:
+        for c in path.split("/"):
             node = node[int(c)] if isinstance(node, list) else node[c]
-        bn = node[comps[-1]]["bn"]
+        bn = node["bn"]
         bn["mean"] = (1.0 - BN_MOMENTUM) * bn["mean"] + BN_MOMENTUM * upd["mean"]
         bn["var"] = (1.0 - BN_MOMENTUM) * bn["var"] + BN_MOMENTUM * upd["var"]
     return out
@@ -170,10 +174,10 @@ def cba_apply(
 def maxpool2d_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """k x k max pool, stride 1, same padding (NHWC)."""
     pad = k // 2
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init keeps XLA's select-and-scatter VJP rule applicable.
     return jax.lax.reduce_window(
         x,
-        neg,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, 1, 1, 1),

@@ -184,7 +184,8 @@ def head_init(key, nc: int, ch: Sequence[int], reg_max: int = 16) -> Params:
         cv2.append(reg)
         cv3.append(cls)
     # one2one branches start as exact copies (reference head.py:112-114).
-    copy = lambda t: jax.tree_util.tree_map(lambda a: a, t)
+    # Deep-copied buffers (not aliases) so argument donation stays legal.
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), t)
     return {
         "cv2": cv2,
         "cv3": cv3,
@@ -193,18 +194,28 @@ def head_init(key, nc: int, ch: Sequence[int], reg_max: int = 16) -> Params:
     }
 
 
-def _head_level_apply(reg_p: Params, cls_p: Params, x: jnp.ndarray, *, train=False, stats=None, scope="", precision=None) -> jnp.ndarray:
+def _head_level_apply(
+    reg_p: Params,
+    cls_p: Params,
+    x: jnp.ndarray,
+    *,
+    train=False,
+    stats=None,
+    reg_scope="",
+    cls_scope="",
+    precision=None,
+) -> jnp.ndarray:
     kw = dict(train=train, stats=stats, precision=precision)
-    r = L.cba_apply(reg_p["0"], x, scope=f"{scope}/reg/0", **kw)
-    r = L.cba_apply(reg_p["1"], r, scope=f"{scope}/reg/1", **kw)
+    r = L.cba_apply(reg_p["0"], x, scope=f"{reg_scope}/0", **kw)
+    r = L.cba_apply(reg_p["1"], r, scope=f"{reg_scope}/1", **kw)
     r = L.conv2d(r, reg_p["2"]["w"], precision=precision) + reg_p["2"]["b"].astype(x.dtype)
 
     cin = x.shape[-1]
-    c = L.cba_apply(cls_p["0"]["0"], x, groups=cin, scope=f"{scope}/cls/0/0", **kw)
-    c = L.cba_apply(cls_p["0"]["1"], c, scope=f"{scope}/cls/0/1", **kw)
+    c = L.cba_apply(cls_p["0"]["0"], x, groups=cin, scope=f"{cls_scope}/0/0", **kw)
+    c = L.cba_apply(cls_p["0"]["1"], c, scope=f"{cls_scope}/0/1", **kw)
     cc = c.shape[-1]
-    c = L.cba_apply(cls_p["1"]["0"], c, groups=cc, scope=f"{scope}/cls/1/0", **kw)
-    c = L.cba_apply(cls_p["1"]["1"], c, scope=f"{scope}/cls/1/1", **kw)
+    c = L.cba_apply(cls_p["1"]["0"], c, groups=cc, scope=f"{cls_scope}/1/0", **kw)
+    c = L.cba_apply(cls_p["1"]["1"], c, scope=f"{cls_scope}/1/1", **kw)
     c = L.conv2d(c, cls_p["2"]["w"], precision=precision) + cls_p["2"]["b"].astype(x.dtype)
     return jnp.concatenate([r, c], axis=-1)
 
@@ -224,15 +235,24 @@ def head_apply(
     (reference head.py:118-135; channel-last instead of channel-first).
     """
     if branch == "one2many":
-        cv2, cv3, tag = p["cv2"], p["cv3"], "o2m"
+        cv2, cv3, reg_name, cls_name = p["cv2"], p["cv3"], "cv2", "cv3"
     elif branch == "one2one":
-        cv2, cv3, tag = p["one2one_cv2"], p["one2one_cv3"], "o2o"
+        cv2, cv3, reg_name, cls_name = p["one2one_cv2"], p["one2one_cv3"], "one2one_cv2", "one2one_cv3"
     else:
         raise ValueError(f"unknown head branch: {branch}")
     out = []
     for i, x in enumerate(feats):
         out.append(
-            _head_level_apply(cv2[i], cv3[i], x, train=train, stats=stats, scope=f"head/{tag}/{i}", precision=precision)
+            _head_level_apply(
+                cv2[i],
+                cv3[i],
+                x,
+                train=train,
+                stats=stats,
+                reg_scope=f"head/{reg_name}/{i}",
+                cls_scope=f"head/{cls_name}/{i}",
+                precision=precision,
+            )
         )
     return out
 
