@@ -49,9 +49,15 @@ class Predictor:
         class_wise_nms: bool = False,
         dtype: str = "float32",
         donate: bool = True,
+        fuse: bool = False,
     ) -> None:
         if imgsz % 32:
             raise ValueError("imgsz must be divisible by 32")
+        if fuse:
+            from ..models.yolov10.fold import fold_params
+            from ..models.yolov10.model import YOLOv10 as _Y
+
+            model = _Y(cfg=model.cfg, class_names=model.class_names, params=fold_params(model.params))
         self.model = model
         self.imgsz = int(imgsz)
         self.decode = decode

@@ -1,0 +1,175 @@
+"""Fixed-shape serving export: jitted program + StableHLO artifact.
+
+TPU-native counterpart of the reference ONNX export
+(reference: leanyolo/models/yolov10/export.py:32-276 and tools/
+export_onnx.py:91-145). The serving contract is identical:
+
+    detections [N, max_dets, 6]  ([x1, y1, x2, y2, score, cls])
+    num_dets   [N] int
+
+with two decode modes matching the wrapper's semantics exactly:
+
+- topk (nms=False): best class per anchor, conf-mask to -1, top-k, clamp to
+  image bounds, num_dets = count >= conf (export.py:126-144);
+- nms  (nms=True): pre-top-k 1000 over (anchor, class) pairs, class+image
+  offset trick -> ONE greedy NMS pass, per-image top-k, zero-out below conf
+  (export.py:145-198).
+
+Instead of ONNX, the artifact is serialized StableHLO via `jax.export` with
+a symbolic (dynamic) batch dimension, plus a JSON metadata sidecar
+(mirroring tools/export_onnx.py:121-137). Weights are baked in (BN-folded,
+RepVGGDW-fused) so the artifact is self-contained.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.yolov10.decode import _flatten_pyramid, _nms_single
+from ..models.yolov10.model import YOLOv10, model_apply
+from ..version import __version__
+
+
+def build_serving_fn(
+    model: YOLOv10,
+    *,
+    imgsz: int = 640,
+    decode: str = "topk",
+    max_dets: int = 300,
+    conf: float = 0.25,
+    iou: float = 0.45,
+    pre_topk: int = 1000,
+    dtype: str = "float32",
+    fuse: bool = True,
+):
+    """Returns (fn(images) -> (detections, num_dets), params_baked).
+
+    `fn` closes over (optionally folded) params so the exported artifact is
+    self-contained; images are [B, imgsz, imgsz, 3] raw pixels NHWC.
+    """
+    cfg = model.cfg
+    nc = model.nc
+    params = model.params
+    if fuse:
+        from ..models.yolov10.fold import fold_params
+
+        params = fold_params(params)
+    compute_dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
+    use_nms = decode.lower() == "nms"
+
+    def fn(images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        branch = "one2many" if use_nms else "one2one"
+        raw = model_apply(params, images.astype(compute_dtype), cfg, train=False, branches=(branch,))
+        feats = [f.astype(jnp.float32) for f in raw[branch]]
+        boxes, cls_logits = _flatten_pyramid(feats, nc, cfg.strides)
+        scores = jax.nn.sigmoid(cls_logits)  # [B, A, nc]
+        b, a, _ = scores.shape
+
+        if not use_nms:
+            best_scores = jnp.max(scores, axis=-1)
+            best_cls = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+            masked = jnp.where(best_scores >= conf, best_scores, -1.0)
+            k = min(max_dets, a)
+            top_vals, top_idx = jax.lax.top_k(masked, k)
+            sel_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+            sel_scores = jnp.take_along_axis(best_scores, top_idx, axis=1)
+            sel_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
+            sel_boxes = jnp.clip(sel_boxes, 0.0, float(imgsz))
+            sel_scores = jnp.maximum(sel_scores, 0.0)
+            dets = jnp.concatenate([sel_boxes, sel_scores[..., None], sel_cls[..., None]], axis=-1)
+            if k < max_dets:
+                dets = jnp.pad(dets, ((0, 0), (0, max_dets - k), (0, 0)))
+            num = jnp.sum(sel_scores >= conf, axis=1).astype(jnp.int32)
+            return dets, num
+
+        k_pre = min(pre_topk, a * nc)
+        flat = scores.reshape(b, a * nc)
+        cand_scores, pre_idx = jax.lax.top_k(flat, k_pre)
+        anc_idx = pre_idx // nc
+        cand_cls = (pre_idx % nc).astype(jnp.float32)
+        cand_boxes = jnp.take_along_axis(boxes, anc_idx[..., None], axis=1)
+        nms = partial(
+            _nms_single,
+            iou_thresh=iou,
+            conf_thresh=conf,
+            max_det=max_dets,
+            class_wise=True,
+            group_offset=float(imgsz) * 10.0 * nc,
+        )
+        dets, num = jax.vmap(nms)(cand_boxes, cand_scores, cand_cls)
+        dets = dets.at[..., :4].set(jnp.clip(dets[..., :4], 0.0, float(imgsz)))
+        return dets, num
+
+    return fn, params
+
+
+def export_serving(
+    model: YOLOv10,
+    out_path: str,
+    *,
+    imgsz: int = 640,
+    decode: str = "topk",
+    max_dets: int = 300,
+    conf: float = 0.25,
+    iou: float = 0.45,
+    pre_topk: int = 1000,
+    dtype: str = "float32",
+    dynamic_batch: bool = True,
+    fuse: bool = True,
+) -> str:
+    """Serialize the serving function to StableHLO bytes + JSON sidecar.
+
+    Returns the artifact path (`.stablehlo`). With dynamic_batch, the batch
+    dimension is symbolic (the ONNX export's dynamic axis, export.py:265-275).
+    """
+    fn, _ = build_serving_fn(
+        model, imgsz=imgsz, decode=decode, max_dets=max_dets, conf=conf, iou=iou,
+        pre_topk=pre_topk, dtype=dtype, fuse=fuse,
+    )
+    if dynamic_batch:
+        (bdim,) = jax.export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((bdim, imgsz, imgsz, 3), jnp.float32)
+    else:
+        spec = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), jnp.float32)
+    exported = jax.export.export(jax.jit(fn))(spec)
+    blob = exported.serialize()
+
+    if not out_path.endswith(".stablehlo"):
+        out_path = out_path + ".stablehlo"
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+
+    meta = {
+        "leanyolo_version": __version__,
+        "format": "stablehlo",
+        "model_name": model.cfg.name,
+        "class_names": model.class_names,
+        "imgsz": imgsz,
+        "decode": decode,
+        "max_dets": max_dets,
+        "conf": conf,
+        "iou": iou,
+        "pre_topk": pre_topk,
+        "dtype": dtype,
+        "dynamic_batch": dynamic_batch,
+        "outputs": {"detections": [None if dynamic_batch else 1, max_dets, 6], "num_dets": [None if dynamic_batch else 1]},
+        "input": {"images": [None if dynamic_batch else 1, imgsz, imgsz, 3], "layout": "NHWC", "range": "0-255 RGB"},
+    }
+    with open(out_path + ".json", "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=2)
+    return out_path
+
+
+def load_exported(path: str):
+    """Deserialize a .stablehlo artifact into a callable."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    exported = jax.export.deserialize(bytearray(blob))
+    return exported.call

@@ -1,0 +1,78 @@
+"""Inference-time parameter folding: BN -> conv bias, RepVGGDW -> single conv.
+
+Two standard serving transforms, done ahead-of-time on the parameter pytree
+(the forward functions in layers.py dispatch on tree structure):
+
+1. BatchNorm folding: w' = w * gamma / sqrt(var + eps) (per output channel),
+   b' = beta - mean * gamma / sqrt(var + eps). Removes every BN epilogue from
+   the compiled program.
+2. RepVGGDW fusion: the depthwise 7x7 + 3x3 dual branch inside long-kernel
+   CIBs (reference: leanyolo/models/yolov10/layers.py:274-286) collapses into
+   one 7x7 depthwise conv by zero-padding the 3x3 kernel to 7x7 and summing —
+   exactly the RepVGG re-parameterization the official repo applies before
+   export.
+
+Both are exact up to fp32 rounding; parity paths keep the unfused tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from .layers import BN_EPS
+
+Params = Dict[str, Any]
+
+
+def _fold_conv_bn(block: Params) -> Params:
+    w = np.asarray(block["conv"]["w"], np.float32)
+    bn = block["bn"]
+    scale = np.asarray(bn["scale"], np.float32)
+    bias = np.asarray(bn["bias"], np.float32)
+    mean = np.asarray(bn["mean"], np.float32)
+    var = np.asarray(bn["var"], np.float32)
+    mul = scale / np.sqrt(var + BN_EPS)
+    out = {"conv": {"w": w * mul[None, None, None, :], "b": bias - mean * mul}}
+    if "b" in block["conv"]:
+        out["conv"]["b"] = out["conv"]["b"] + np.asarray(block["conv"]["b"], np.float32) * mul
+    return out
+
+
+def _is_conv_bn(node: Any) -> bool:
+    return isinstance(node, dict) and set(node.keys()) == {"conv", "bn"}
+
+
+def _is_repvggdw(node: Any) -> bool:
+    return (
+        isinstance(node, dict)
+        and set(node.keys()) == {"conv", "conv1"}
+        and _is_conv_bn(node["conv"])
+        and _is_conv_bn(node["conv1"])
+        and np.asarray(node["conv"]["conv"]["w"]).shape[0] == 7
+        and np.asarray(node["conv1"]["conv"]["w"]).shape[0] == 3
+    )
+
+
+def _fuse_repvggdw(node: Params) -> Params:
+    f7 = _fold_conv_bn(node["conv"])["conv"]
+    f3 = _fold_conv_bn(node["conv1"])["conv"]
+    w7 = np.asarray(f7["w"], np.float32)
+    w3 = np.asarray(f3["w"], np.float32)
+    pad = (7 - 3) // 2
+    w3p = np.pad(w3, ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+    return {"conv": {"w": w7 + w3p, "b": f7["b"] + f3["b"]}}
+
+
+def fold_params(tree: Any) -> Any:
+    """Recursively fold a full model parameter tree for serving."""
+    if _is_repvggdw(tree):
+        return _fuse_repvggdw(tree)
+    if _is_conv_bn(tree):
+        return _fold_conv_bn(tree)
+    if isinstance(tree, dict):
+        return {k: fold_params(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [fold_params(v) for v in tree]
+    return tree

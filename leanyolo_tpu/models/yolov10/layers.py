@@ -273,7 +273,8 @@ def repvggdw_apply(p: Params, x: jnp.ndarray, *, train=False, stats=None, scope=
     """
     ch = x.shape[-1]
     if "conv1" not in p:
-        return cba_apply(p["conv"], x, groups=ch, act=True, padding=3, precision=precision)
+        # Fused tree: the node IS a single folded conv block {'conv': {w, b}}.
+        return cba_apply(p, x, groups=ch, act=True, padding=3, precision=precision)
     a = cba_apply(p["conv"], x, groups=ch, act=False, padding=3, train=train, stats=stats, scope=f"{scope}/conv", precision=precision)
     b = cba_apply(p["conv1"], x, groups=ch, act=False, padding=1, train=train, stats=stats, scope=f"{scope}/conv1", precision=precision)
     return jax.nn.silu(a + b)

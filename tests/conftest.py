@@ -8,13 +8,23 @@ Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ["JAX_PLATFORM_NAME"] = "cpu"  # the axon TPU plugin ignores JAX_PLATFORMS
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin ignores the JAX_PLATFORMS/JAX_PLATFORM_NAME env vars;
+# only jax.config.update reliably forces the CPU backend here.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: this host has ONE CPU core, so full-model
+# XLA compiles dominate test time; the cache makes reruns cheap.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("LEANYOLO_TEST_CACHE", "/tmp/leanyolo_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REFERENCE_ROOT = "/root/reference"
 

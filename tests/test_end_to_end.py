@@ -1,0 +1,132 @@
+"""End-to-end pipeline tests on synthetic data (val, train CLI, infer CLI).
+
+Mirrors the reference CLI-in-process test style (reference: leanyolo/tests/
+test_tools_train_cli.py:46-64, test_eval_synthetic.py:11-41).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from synth_coco import make_synth_coco
+
+
+def test_validate_coco_synthetic(tmp_path):
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.engine.validator import validate_coco
+
+    img_dir, ann = make_synth_coco(str(tmp_path))
+    model = get_model("yolov10n", weights=None, class_names=["class0", "class1", "class2"])
+    stats = validate_coco(
+        model, images_dir=img_dir, ann_json=ann, imgsz=64, batch_size=2, decode="topk", workers=2
+    )
+    assert 0.0 <= stats["map_50_95"] <= 1.0
+    assert stats["n_images"] == 4
+
+
+def test_validate_nms_decode_synthetic(tmp_path):
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.engine.validator import validate_coco
+
+    img_dir, ann = make_synth_coco(str(tmp_path))
+    model = get_model("yolov10n", weights=None, class_names=["class0", "class1", "class2"])
+    stats = validate_coco(
+        model, images_dir=img_dir, ann_json=ann, imgsz=64, batch_size=4, decode="nms",
+        conf_thresh=0.05, iou_thresh=0.5, workers=2,
+    )
+    assert 0.0 <= stats["map_50_95"] <= 1.0
+
+
+def test_train_cli_synthetic(tmp_path, monkeypatch, capsys):
+    img_dir, ann = make_synth_coco(str(tmp_path), n_images=4)
+    out_dir = tmp_path / "run"
+    argv = [
+        "train.py",
+        "--model", "yolov10n",
+        "--train-images", img_dir,
+        "--train-ann", ann,
+        "--val-images", img_dir,
+        "--val-ann", ann,
+        "--imgsz", "64",
+        "--epochs", "1",
+        "--batch-size", "2",
+        "--max-boxes", "8",
+        "--workers", "2",
+        "--out-dir", str(out_dir),
+    ]
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    monkeypatch.setattr(sys, "argv", argv)
+    import importlib
+
+    train_mod = importlib.import_module("train")
+    train_mod.main()
+    assert (out_dir / "ckpt.npz").exists()
+    assert (out_dir / "epoch001.npz").exists()
+    out = capsys.readouterr().out
+    assert "mAP50-95" in out
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.models.registry import load_checkpoint_into, load_checkpoint_meta, save_checkpoint
+
+    model = get_model("yolov10n", weights=None, class_names=["a", "b"], seed=3)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(model, path)
+    meta = load_checkpoint_meta(path)
+    assert meta["model_name"] == "yolov10n"
+    assert meta["class_names"] == ["a", "b"]
+    assert meta["leanyolo_version"]
+
+    model2 = get_model("yolov10n", weights=None, class_names=["a", "b"], seed=9)
+    before = np.asarray(model2.params["backbone"]["cv0"]["conv"]["w"]).copy()
+    load_checkpoint_into(model2, path)
+    after = np.asarray(model2.params["backbone"]["cv0"]["conv"]["w"])
+    want = np.asarray(model.params["backbone"]["cv0"]["conv"]["w"])
+    assert not np.allclose(before, after)
+    np.testing.assert_array_equal(after, want)
+
+    # get_model with a local path loads strictly
+    model3 = get_model("yolov10n", weights=path, class_names=["a", "b"], seed=11)
+    np.testing.assert_array_equal(np.asarray(model3.params["backbone"]["cv0"]["conv"]["w"]), want)
+
+
+def test_checkpoint_strict_mismatch(tmp_path):
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.models.registry import save_checkpoint
+
+    model = get_model("yolov10n", weights=None, class_names=["a", "b"])
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(model, path)
+    with pytest.raises(ValueError):
+        get_model("yolov10s", weights=path, class_names=["a", "b"])  # shape mismatch
+    with pytest.raises(ValueError):
+        get_model("yolov10n", weights=path, class_names=["a", "b", "c"])  # nc mismatch
+
+
+def test_infer_cli_synthetic(tmp_path, monkeypatch, capsys):
+    img_dir, _ = make_synth_coco(str(tmp_path), n_images=1)
+    save_dir = tmp_path / "viz"
+    argv = [
+        "infer.py",
+        "--source", img_dir,
+        "--model", "yolov10n",
+        "--weights", "none",
+        "--imgsz", "64",
+        "--decode", "nms",
+        "--conf", "0.01",
+        "--save-dir", str(save_dir),
+        "--class-names", "a,b,c",
+    ]
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    monkeypatch.setattr(sys, "argv", argv)
+    import importlib
+
+    infer_mod = importlib.import_module("infer")
+    infer_mod.main()
+    assert (save_dir / "img_0000.jpg").exists()
+    assert "saved:" in capsys.readouterr().out

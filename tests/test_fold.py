@@ -1,0 +1,48 @@
+"""Folded (BN->conv, RepVGGDW-fused) inference must match the unfused model."""
+
+import numpy as np
+
+
+def test_fold_params_inference_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.models.yolov10.fold import fold_params
+    from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
+
+    # yolov10s exercises RepVGGDW (use_lk_c8 + lk_p4_p5).
+    model = YOLOv10.create("yolov10s", class_names=[f"c{i}" for i in range(5)], seed=0)
+    # Perturb BN stats so folding is non-trivial.
+    rng = np.random.RandomState(0)
+
+    def perturb(tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == "bn":
+                    v["mean"] = jnp.asarray(rng.randn(*np.asarray(v["mean"]).shape).astype(np.float32) * 0.1)
+                    v["var"] = jnp.asarray(1.0 + 0.5 * rng.rand(*np.asarray(v["var"]).shape).astype(np.float32))
+                else:
+                    perturb(v)
+        elif isinstance(tree, list):
+            for v in tree:
+                perturb(v)
+
+    perturb(model.params)
+    folded = fold_params(model.params)
+
+    x = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    fwd = jax.jit(lambda p, xx: model_apply(p, xx, model.cfg)["one2one"][0])
+    a = np.asarray(fwd(model.params, x))
+    b = np.asarray(fwd(folded, x))
+    assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
+
+
+def test_fold_shrinks_tree():
+    from leanyolo_tpu.models.yolov10.fold import fold_params
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.models.yolov10.remap import flatten_param_paths
+
+    model = YOLOv10.create("yolov10s", class_names=["a"], seed=0)
+    n_before = len(flatten_param_paths(model.params))
+    n_after = len(flatten_param_paths(fold_params(model.params)))
+    assert n_after < n_before / 2  # 4 BN leaves + w -> w + b

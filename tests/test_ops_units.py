@@ -1,0 +1,245 @@
+"""Unit tests for ops: letterbox, boxes, anchors, coco_eval, val_log.
+
+Mirrors the reference unit-test tiers (reference: leanyolo/tests/
+test_letterbox.py, test_box_ops_extra.py, test_val_log_unit.py).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ROOT, reference_available
+
+
+class TestLetterbox:
+    def test_square_upscale(self):
+        from leanyolo_tpu.ops.letterbox import letterbox
+
+        img = np.zeros((100, 200, 3), np.uint8)
+        out, (gw, gh), (px, py) = letterbox(img, 640)
+        assert out.shape == (640, 640, 3)
+        assert gw == gh == pytest.approx(3.2)
+        assert (px, py) == (0, 160)
+        assert out[0, 0, 0] == 114  # pad color
+
+    def test_no_scaleup(self):
+        from leanyolo_tpu.ops.letterbox import letterbox
+
+        img = np.zeros((100, 200, 3), np.uint8)
+        out, (gw, gh), _ = letterbox(img, 640, scaleup=False)
+        assert gw == gh == 1.0
+        assert out.shape == (640, 640, 3)
+
+    @pytest.mark.parametrize("stride", [32, 64])
+    def test_auto_stride(self, stride):
+        from leanyolo_tpu.ops.letterbox import letterbox
+
+        img = np.zeros((100, 200, 3), np.uint8)
+        out, _, _ = letterbox(img, 640, auto=True, stride=stride)
+        assert out.shape[0] % stride == 0 and out.shape[1] % stride == 0
+
+    def test_scale_fill(self):
+        from leanyolo_tpu.ops.letterbox import letterbox
+
+        img = np.zeros((100, 200, 3), np.uint8)
+        out, (gw, gh), (px, py) = letterbox(img, 640, scale_fill=True)
+        assert out.shape == (640, 640, 3)
+        assert (px, py) == (0, 0)
+        assert gw == pytest.approx(3.2) and gh == pytest.approx(6.4)
+
+    @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+    def test_parity_with_reference(self):
+        sys.path.insert(0, REFERENCE_ROOT)
+        from leanyolo.utils.letterbox import letterbox as ref_lb
+
+        from leanyolo_tpu.ops.letterbox import letterbox
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (123, 457, 3), np.uint8)
+        for kwargs in ({}, {"auto": True}, {"scaleup": False}, {"scale_fill": True}):
+            a, ga, pa = letterbox(img, 320, **kwargs)
+            b, gb, pb = ref_lb(img, 320, **kwargs)
+            np.testing.assert_array_equal(a, b)
+            assert ga == gb and pa == pb
+
+    def test_jax_letterbox_geometry(self):
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.letterbox import letterbox, letterbox_jax
+
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+        host, gh_, ph_ = letterbox(img, 160)
+        dev, gd, pd = letterbox_jax(jnp.asarray(img), 160)
+        assert gd == gh_ and pd == ph_
+        assert dev.shape == host.shape
+        # XLA bilinear vs cv2 INTER_LINEAR: close but not bit-equal.
+        assert np.abs(np.asarray(dev) - host.astype(np.float32)).mean() < 8.0
+
+
+class TestBoxes:
+    def test_roundtrip(self):
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.boxes import box_xywh_to_xyxy, box_xyxy_to_xywh
+
+        b = jnp.asarray([[10.0, 20.0, 30.0, 40.0]])
+        np.testing.assert_allclose(np.asarray(box_xywh_to_xyxy(box_xyxy_to_xywh(b))), np.asarray(b), atol=1e-5)
+
+    def test_iou_identity(self):
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.boxes import box_iou
+
+        b = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [5.0, 5.0, 15.0, 15.0]])
+        m = np.asarray(box_iou(b, b))
+        np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
+        assert 0.1 < m[0, 1] < 0.2  # 25/175
+
+    def test_unletterbox(self):
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.boxes import unletterbox_coords
+
+        boxes = jnp.asarray([[160.0, 170.0, 480.0, 490.0]])
+        out = np.asarray(unletterbox_coords(boxes, (3.2, 3.2), (0, 160), (100, 200)))
+        np.testing.assert_allclose(out, [[50.0, 3.125, 150.0, 100.0]], atol=1e-3)
+
+    def test_ciou_paired_matches_pairwise_diag(self):
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.boxes import box_ciou_paired, box_ciou_pairwise
+
+        rng = np.random.RandomState(0)
+        xy = rng.uniform(0, 50, (16, 2)).astype(np.float32)
+        wh = rng.uniform(5, 40, (16, 2)).astype(np.float32)
+        a = jnp.asarray(np.concatenate([xy, xy + wh], axis=1))
+        xy2 = rng.uniform(0, 50, (16, 2)).astype(np.float32)
+        b = jnp.asarray(np.concatenate([xy2, xy2 + wh], axis=1))
+        np.testing.assert_allclose(
+            np.asarray(box_ciou_paired(a, b)), np.diag(np.asarray(box_ciou_pairwise(a, b))), atol=1e-5
+        )
+
+
+class TestAnchors:
+    def test_make_anchors(self):
+        from leanyolo_tpu.ops.anchors import make_anchors
+
+        pts, strides = make_anchors([(4, 4), (2, 2)], (8, 16))
+        assert pts.shape == (20, 2)
+        np.testing.assert_allclose(np.asarray(pts)[0], [0.5, 0.5])
+        np.testing.assert_allclose(np.asarray(strides)[:16], 8.0)
+        np.testing.assert_allclose(np.asarray(strides)[16:], 16.0)
+
+    def test_dist_roundtrip(self):
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.anchors import bbox2dist, dist2bbox
+
+        anchors = jnp.asarray([[10.0, 10.0]])
+        dist = jnp.asarray([[2.0, 3.0, 4.0, 5.0]])
+        box = dist2bbox(dist, anchors)
+        np.testing.assert_allclose(np.asarray(box), [[8.0, 7.0, 14.0, 15.0]])
+        back = bbox2dist(anchors, box, 16)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(dist))
+
+
+class TestCocoEval:
+    def _gt(self):
+        return {
+            "images": [{"id": 1, "width": 100, "height": 100}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0},
+                {"id": 2, "image_id": 1, "category_id": 1, "bbox": [50, 50, 20, 20], "area": 400, "iscrowd": 0},
+            ],
+            "categories": [{"id": 1, "name": "a"}],
+        }
+
+    def test_perfect_detections(self):
+        from leanyolo_tpu.utils.coco_eval import CocoEvaluator
+
+        ev = CocoEvaluator(self._gt())
+        ev.add_detections(
+            [
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+                {"image_id": 1, "category_id": 1, "bbox": [50, 50, 20, 20], "score": 0.8},
+            ]
+        )
+        stats = ev.evaluate()
+        assert stats["map_50_95"] == pytest.approx(1.0)
+        assert stats["map_50"] == pytest.approx(1.0)
+
+    def test_missed_one(self):
+        from leanyolo_tpu.utils.coco_eval import CocoEvaluator
+
+        ev = CocoEvaluator(self._gt())
+        ev.add_detections([{"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9}])
+        stats = ev.evaluate()
+        # Recall caps at 0.5 -> AP ≈ 0.5 (101-pt: ~0.50495)
+        assert 0.45 < stats["map_50"] < 0.55
+
+    def test_false_positive_ranked_below(self):
+        from leanyolo_tpu.utils.coco_eval import CocoEvaluator
+
+        ev = CocoEvaluator(self._gt())
+        ev.add_detections(
+            [
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+                {"image_id": 1, "category_id": 1, "bbox": [50, 50, 20, 20], "score": 0.8},
+                {"image_id": 1, "category_id": 1, "bbox": [0, 70, 10, 10], "score": 0.1},
+            ]
+        )
+        assert ev.evaluate()["map_50"] == pytest.approx(1.0)
+
+    def test_iou_threshold_sensitivity(self):
+        from leanyolo_tpu.utils.coco_eval import CocoEvaluator
+
+        ev = CocoEvaluator(self._gt())
+        # Boxes shifted so IoU ≈ 0.6: TP at [email protected], FP at @0.75+.
+        ev.add_detections(
+            [
+                {"image_id": 1, "category_id": 1, "bbox": [15, 10, 20, 20], "score": 0.9},
+                {"image_id": 1, "category_id": 1, "bbox": [55, 50, 20, 20], "score": 0.8},
+            ]
+        )
+        stats = ev.evaluate()
+        assert stats["map_50"] == pytest.approx(1.0)
+        assert stats["map_75"] == pytest.approx(0.0)
+
+    def test_crowd_ignored(self):
+        from leanyolo_tpu.utils.coco_eval import CocoEvaluator
+
+        gt = self._gt()
+        gt["annotations"].append(
+            {"id": 3, "image_id": 1, "category_id": 1, "bbox": [0, 0, 100, 100], "area": 10000, "iscrowd": 1}
+        )
+        ev = CocoEvaluator(gt)
+        ev.add_detections(
+            [
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+                {"image_id": 1, "category_id": 1, "bbox": [50, 50, 20, 20], "score": 0.8},
+            ]
+        )
+        assert ev.evaluate()["map_50_95"] == pytest.approx(1.0)
+
+
+class TestValLog:
+    def test_create_append_migrate(self, tmp_path):
+        from leanyolo_tpu.utils.val_log import COLUMNS, append_row, ensure_csv
+
+        path = tmp_path / "log.csv"
+        append_row(path, {"model": "yolov10s", "map_50": "0.5"})
+        append_row(path, {"model": "yolov10n"})
+        lines = path.read_text().strip().split("\n")
+        assert lines[0].split(",") == COLUMNS
+        assert len(lines) == 3
+
+        # Header migration: old schema rows remap into the new column order.
+        old = tmp_path / "old.csv"
+        old.write_text("model,fps\nyolov10s,42\n")
+        ensure_csv(old)
+        lines = old.read_text().strip().split("\n")
+        assert lines[0].split(",") == COLUMNS
+        row = dict(zip(COLUMNS, lines[1].split(",")))
+        assert row["model"] == "yolov10s" and row["fps"] == "42"

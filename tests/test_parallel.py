@@ -1,0 +1,73 @@
+"""Data-parallel sharding tests on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+
+def _n_devices():
+    import jax
+
+    return len(jax.devices())
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_mesh_train_step_matches_single_device():
+    """A DP train step over 8 devices must produce the same loss as 1 device."""
+    import jax
+
+    from leanyolo_tpu.data.dataset import Batch
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    b = 8
+    batch = Batch(
+        rng.uniform(0, 255, (b, 64, 64, 3)).astype(np.float32),
+        np.zeros((b, 4), np.int32),
+        np.tile(np.asarray([4, 4, 30, 30], np.float32), (b, 4, 1)),
+        np.concatenate([np.ones((b, 1), bool), np.zeros((b, 3), bool)], axis=1),
+        [None] * b,
+    )
+    cfg = TrainConfig(epochs=1, steps_per_epoch=1, augment=False, grad_clip=0.0)
+
+    def run(mesh):
+        model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+        tr = Trainer(model, cfg, mesh=mesh)
+        losses = tr.train_step(batch, jax.random.PRNGKey(0))
+        return float(losses["total"]), model
+
+    loss_dp, model_dp = run(make_mesh(8))
+    loss_1, model_1 = run(None)
+    assert loss_dp == pytest.approx(loss_1, rel=1e-4)
+
+    w_dp = np.asarray(model_dp.params["head"]["cv2"][0]["2"]["w"])
+    w_1 = np.asarray(model_1.params["head"]["cv2"][0]["2"]["w"])
+    np.testing.assert_allclose(w_dp, w_1, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_shard_batch_layout():
+    import jax
+
+    from leanyolo_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    mesh = make_mesh(8)
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.num_devices == 8
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+    p = {"a": np.ones((3, 3), np.float32)}
+    ps = shard_params(mesh, p)
+    assert ps["a"].sharding.num_devices == 8
+
+
+def test_dryrun_multichip_entry():
+    """The driver-facing dry run must work on whatever devices exist."""
+    import jax
+
+    import __graft_entry__ as g
+
+    n = min(len(jax.devices()), 8)
+    g.dryrun_multichip(n)

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Baseline trainer CLI (COCO-format data, AdamW + cosine, per-epoch eval).
+
+Counterpart of the reference baseline trainer (reference: tools/train.py:
+135-309): same flags (--freeze-backbone freezes neck too, --head-reset),
+per-epoch COCO eval and checkpointing with the same metadata keys. Runs
+data-parallel over all local TPU chips when --data-parallel is set.
+
+Example:
+    python tools/train.py --train-images d/train --train-ann d/train/_annotations.coco.json \
+        --val-images d/valid --val-ann d/valid/_annotations.coco.json --epochs 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="leanyolo-tpu baseline trainer")
+    p.add_argument("--model", default="yolov10s")
+    p.add_argument("--weights", default=None, help="'PRETRAINED_COCO', ckpt path, or None")
+    p.add_argument("--train-images", required=True)
+    p.add_argument("--train-ann", required=True)
+    p.add_argument("--val-images", default=None)
+    p.add_argument("--val-ann", default=None)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=5e-4)
+    p.add_argument("--warmup-epochs", type=int, default=1)
+    p.add_argument("--grad-clip", type=float, default=0.0)
+    p.add_argument("--freeze-backbone", action="store_true", help="freeze backbone+neck")
+    p.add_argument("--head-reset", action="store_true", help="re-init head with fresh random weights")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--max-boxes", type=int, default=128)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default="runs/train")
+    p.add_argument("--eval-every", type=int, default=1)
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    import json
+
+    import jax
+    import numpy as np
+
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.data.dataset import CocoDetection, DataLoader
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.engine.validator import validate_coco
+    from leanyolo_tpu.models.registry import save_checkpoint
+    from leanyolo_tpu.models.yolov10.model import head_init
+
+    with open(args.train_ann, "r", encoding="utf-8") as f:
+        cats = json.load(f)["categories"]
+    class_names = [c["name"] for c in sorted(cats, key=lambda c: c["id"])]
+
+    model = get_model(args.model, weights=args.weights, class_names=class_names, seed=args.seed)
+    if args.head_reset:
+        model.params["head"] = head_init(
+            jax.random.PRNGKey(args.seed + 1), model.nc, model.cfg.neck_out, model.cfg.reg_max
+        )
+
+    ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz, max_images=args.max_images)
+    loader = DataLoader(
+        ds,
+        batch_size=args.batch_size,
+        shuffle=True,
+        max_boxes=args.max_boxes,
+        workers=args.workers,
+        seed=args.seed,
+    )
+    steps_per_epoch = max(1, len(loader))
+
+    mesh = None
+    if args.data_parallel:
+        from leanyolo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if args.batch_size % mesh.devices.size:
+            raise SystemExit(f"--batch-size must be divisible by {mesh.devices.size} devices")
+        print(f"data-parallel over {mesh.devices.size} devices")
+
+    cfg = TrainConfig(
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs,
+        freeze_backbone=args.freeze_backbone,
+        unfreeze_epoch=args.epochs + 1 if args.freeze_backbone else 0,  # baseline: frozen for the whole run
+        grad_clip=args.grad_clip,
+        bf16=args.bf16,
+        augment=args.augment,
+        steps_per_epoch=steps_per_epoch,
+    )
+    trainer = Trainer(model, cfg, mesh=mesh)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        running = {"total": 0.0, "cls": 0.0, "reg": 0.0}
+        nb = 0
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            losses = trainer.train_step(batch, sub)
+            nb += 1
+            if nb % 10 == 0 or nb == steps_per_epoch:
+                vals = {k: float(losses[k]) for k in running}
+                for k in running:
+                    running[k] += vals[k]
+                print(
+                    f"epoch {epoch + 1}/{args.epochs} step {nb}/{steps_per_epoch} "
+                    f"total={vals['total']:.4f} cls={vals['cls']:.4f} reg={vals['reg']:.4f}"
+                )
+        dt = time.perf_counter() - t0
+        print(f"epoch {epoch + 1} done in {dt:.1f}s ({nb * args.batch_size / dt:.1f} img/s)")
+
+        if args.val_images and args.val_ann and (epoch + 1) % args.eval_every == 0:
+            try:
+                stats = validate_coco(
+                    model,
+                    images_dir=args.val_images,
+                    ann_json=args.val_ann,
+                    imgsz=args.imgsz,
+                    batch_size=args.batch_size,
+                    decode="topk",
+                    workers=args.workers,
+                )
+                print(f"epoch {epoch + 1} mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f}")
+            except Exception as e:  # per-epoch eval failures shouldn't kill training
+                print(f"eval failed: {e}")
+
+        save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
+
+    save_checkpoint(model, str(out_dir / "ckpt.npz"))
+    print(f"saved final checkpoint: {out_dir / 'ckpt.npz'}")
+
+
+if __name__ == "__main__":
+    main()

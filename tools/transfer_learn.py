@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Best-practice transfer-learning trainer (freeze -> gradual unfreeze, bf16).
+
+Counterpart of the reference transfer trainer
+(reference: tools/transfer_learn_aquarium.py:236-531): pretrained weights,
+head reset, backbone LR multiplier (0.1), linear-warmup -> cosine schedule,
+bf16 mixed precision (the TPU analog of CUDA AMP), grad-clip 1.0, on-device
+hflip/brightness-contrast augmentation, gradual unfreeze at --unfreeze-epoch,
+per-epoch COCO eval + checkpoints, file+stream logging.
+
+Works on any COCO-format dataset; pair with tools/prepare_aquarium.py for
+the reference's Aquarium recipe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="leanyolo-tpu transfer learning")
+    p.add_argument("--model", default="yolov10s")
+    p.add_argument("--weights", default="PRETRAINED_COCO")
+    p.add_argument("--train-images", required=True)
+    p.add_argument("--train-ann", required=True)
+    p.add_argument("--val-images", required=True)
+    p.add_argument("--val-ann", required=True)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--bb-lr-mult", type=float, default=0.1)
+    p.add_argument("--weight-decay", type=float, default=5e-4)
+    p.add_argument("--warmup-epochs", type=int, default=2)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--unfreeze-epoch", type=int, default=5)
+    p.add_argument("--no-freeze-backbone", action="store_true")
+    p.add_argument("--no-head-reset", action="store_true")
+    p.add_argument("--no-amp", action="store_true", help="disable bf16 compute")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--max-boxes", type=int, default=128)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default="runs/transfer")
+    return p.parse_args()
+
+
+def setup_logger(out_dir: Path) -> logging.Logger:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = logging.getLogger("transfer")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fh = logging.FileHandler(out_dir / "train.log")
+    sh = logging.StreamHandler()
+    fmt = logging.Formatter("%(asctime)s %(message)s")
+    fh.setFormatter(fmt)
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger
+
+
+def main() -> None:
+    args = parse_args()
+    import json
+
+    import jax
+
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.data.dataset import CocoDetection, DataLoader
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.engine.validator import validate_coco
+    from leanyolo_tpu.models.registry import save_checkpoint
+    from leanyolo_tpu.models.yolov10.model import head_init
+
+    out_dir = Path(args.out_dir)
+    log = setup_logger(out_dir)
+    log.info(f"RUN START args={vars(args)}")
+
+    with open(args.train_ann, "r", encoding="utf-8") as f:
+        cats = json.load(f)["categories"]
+    class_names = [c["name"] for c in sorted(cats, key=lambda c: c["id"])]
+    log.info(f"classes: {class_names}")
+
+    model = get_model(args.model, weights=args.weights, class_names=class_names, seed=args.seed)
+    if not args.no_head_reset:
+        model.params["head"] = head_init(
+            jax.random.PRNGKey(args.seed + 1), model.nc, model.cfg.neck_out, model.cfg.reg_max
+        )
+        log.info("head reset to fresh random init")
+
+    ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz)
+    loader = DataLoader(
+        ds, batch_size=args.batch_size, shuffle=True, max_boxes=args.max_boxes, workers=args.workers, seed=args.seed
+    )
+    steps_per_epoch = max(1, len(loader))
+
+    mesh = None
+    if args.data_parallel:
+        from leanyolo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        log.info(f"data-parallel over {mesh.devices.size} devices")
+
+    cfg = TrainConfig(
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs,
+        bb_lr_mult=args.bb_lr_mult,
+        freeze_backbone=not args.no_freeze_backbone,
+        unfreeze_epoch=args.unfreeze_epoch,
+        grad_clip=args.grad_clip,
+        bf16=not args.no_amp,
+        augment=not args.no_augment,
+        steps_per_epoch=steps_per_epoch,
+    )
+    trainer = Trainer(model, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(args.seed)
+
+    best_map = -1.0
+    for epoch in range(args.epochs):
+        if cfg.freeze_backbone and epoch == args.unfreeze_epoch:
+            log.info(f"UNFREEZE backbone at epoch {epoch + 1}")
+        t0 = time.perf_counter()
+        running = {"total": 0.0, "cls": 0.0, "reg": 0.0}
+        nb = 0
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            losses = trainer.train_step(batch, sub)
+            nb += 1
+            if nb == steps_per_epoch:
+                for k in running:
+                    running[k] = float(losses[k])
+        dt = time.perf_counter() - t0
+        log.info(
+            f"EPOCH {epoch + 1}/{args.epochs} loss={running['total']:.4f} "
+            f"cls={running['cls']:.4f} reg={running['reg']:.4f} time={dt:.1f}s"
+        )
+
+        try:
+            stats = validate_coco(
+                model,
+                images_dir=args.val_images,
+                ann_json=args.val_ann,
+                imgsz=args.imgsz,
+                batch_size=args.batch_size,
+                decode="topk",
+                workers=args.workers,
+            )
+            log.info(f"VAL epoch {epoch + 1} mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f}")
+            if stats["map_50_95"] > best_map:
+                best_map = stats["map_50_95"]
+                save_checkpoint(model, str(out_dir / "best.npz"), extra_meta={"epoch": epoch + 1, "map_50_95": best_map})
+        except Exception as e:  # eval failures are non-fatal (reference transfer:511-512)
+            log.info(f"VAL failed: {e}")
+
+        save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
+
+    save_checkpoint(model, str(out_dir / "ckpt.npz"))
+    log.info(f"RUN END best mAP50-95={best_map:.5f}")
+
+
+if __name__ == "__main__":
+    main()
