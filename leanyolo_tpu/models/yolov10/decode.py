@@ -15,6 +15,15 @@ Both decoders are single jitted programs over static shapes:
   collapses class-wise NMS into a single pass), and `(detections, num_dets)`
   outputs instead of variable-length lists.
 
+Performance notes (results are EXACTLY those of the reference algorithm):
+- ranking happens on raw class logits — sigmoid is monotonic, so top-k over
+  logits equals top-k over probabilities; sigmoid runs only on survivors;
+- the DFL softmax-expectation and box decode run only on the <=max_det
+  selected anchors (the reference decodes all ~8400 anchors first,
+  postprocess.py:215-232 — 28x more DFL work than needed);
+- `approx=True` swaps lax.top_k for the TPU-native `lax.approx_max_k`
+  (serving-speed mode; ordering can differ for near-ties at the boundary).
+
 Inputs are NHWC pyramids ([B, H, W, 4*reg_max + nc]); level order must match
 `strides`.
 """
@@ -31,59 +40,92 @@ from ...ops.anchors import dfl_expectation, dist2bbox, make_anchors
 from ...ops.boxes import nms_fixed
 
 
-def _flatten_pyramid(preds: Sequence[jnp.ndarray], num_classes: int, strides: Sequence[int]):
-    """Concat levels -> (boxes [B,A,4] in pixels, cls logits [B,A,nc])."""
+def _topk(x: jnp.ndarray, k: int, approx: bool):
+    if approx and k < x.shape[-1]:
+        return jax.lax.approx_max_k(x, k)
+    return jax.lax.top_k(x, k)
+
+
+def _flatten_levels(preds: Sequence[jnp.ndarray], num_classes: int, strides: Sequence[int]):
+    """Concat levels -> (flat [B, A, C], anchors [A, 2], stride [A, 1], reg_max)."""
     assert len(preds) == len(strides)
     b = preds[0].shape[0]
     c_total = preds[0].shape[-1]
     reg_max = (c_total - num_classes) // 4
     assert 4 * reg_max + num_classes == c_total, "invalid DFL channel layout"
-
     hw_shapes = [(p.shape[1], p.shape[2]) for p in preds]
-    anchors, stride_t = make_anchors(hw_shapes, strides, dtype=preds[0].dtype)
+    anchors, stride_t = make_anchors(hw_shapes, strides, dtype=jnp.float32)
+    flat = jnp.concatenate([p.reshape(b, -1, c_total) for p in preds], axis=1)
+    return flat, anchors, stride_t, reg_max
 
-    flat = jnp.concatenate([p.reshape(b, -1, c_total) for p in preds], axis=1)  # [B, A, C]
+
+def _decode_boxes_at(
+    flat: jnp.ndarray,  # [B, A, C]
+    anchor_idx: jnp.ndarray,  # [B, k]
+    anchors: jnp.ndarray,  # [A, 2]
+    stride_t: jnp.ndarray,  # [A, 1]
+    reg_max: int,
+) -> jnp.ndarray:
+    """DFL expectation + dist2bbox only for the selected anchors -> [B, k, 4]."""
+    box_logits = jnp.take_along_axis(flat[..., : 4 * reg_max], anchor_idx[..., None], axis=1)
+    dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)  # [B, k, 4]
+    sel_anchors = anchors[anchor_idx]  # [B, k, 2]
+    sel_strides = stride_t[anchor_idx]  # [B, k, 1]
+    return dist2bbox(dist, sel_anchors, xywh=False) * sel_strides
+
+
+def _flatten_pyramid(preds: Sequence[jnp.ndarray], num_classes: int, strides: Sequence[int]):
+    """Dense decode: (boxes [B,A,4] pixels, cls logits [B,A,nc]).
+
+    Kept for the serving export wrapper and loss-adjacent code paths that
+    genuinely need every anchor decoded.
+    """
+    flat, anchors, stride_t, reg_max = _flatten_levels(list(preds), num_classes, strides)
     box_logits = flat[..., : 4 * reg_max]
     cls_logits = flat[..., 4 * reg_max :]
-
-    dist = dfl_expectation(box_logits, reg_max)  # [B, A, 4]
-    boxes = dist2bbox(dist, anchors[None], xywh=False) * stride_t[None]  # pixels
+    dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)
+    boxes = dist2bbox(dist, anchors[None], xywh=False) * stride_t[None]
     return boxes, cls_logits
 
 
-@partial(jax.jit, static_argnames=("num_classes", "strides", "max_det"))
+@partial(jax.jit, static_argnames=("num_classes", "strides", "max_det", "approx"))
 def decode_topk(
     preds: Sequence[jnp.ndarray],
     *,
     num_classes: int,
     strides: Sequence[int] = (8, 16, 32),
     max_det: int = 300,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """Official NMS-free two-stage top-k decode.
 
     Parity: leanyolo/models/yolov10/postprocess.py:167-261 (same two-stage
     selection: top-k anchors by best class score, then top-k over the
-    flattened (anchor, class) pairs of the survivors).
+    flattened (anchor, class) pairs of the survivors). Ranking runs on
+    logits; boxes decode only for the final selections.
 
     Returns:
         [B, k, 6] with columns [x1, y1, x2, y2, score, cls]; k = min(max_det, A).
     """
-    boxes, cls_logits = _flatten_pyramid(list(preds), num_classes, strides)
-    scores = jax.nn.sigmoid(cls_logits)  # [B, A, nc]
-    b, a, nc = scores.shape
+    flat, anchors, stride_t, reg_max = _flatten_levels(list(preds), num_classes, strides)
+    cls_logits = flat[..., 4 * reg_max :]
+    b, a, nc = cls_logits.shape
     k = min(max_det, a)
 
-    max_per_anchor = jnp.max(scores, axis=-1)  # [B, A]
-    _, top_anchor_idx = jax.lax.top_k(max_per_anchor, k)  # [B, k]
-    sel_scores = jnp.take_along_axis(scores, top_anchor_idx[..., None], axis=1)  # [B, k, nc]
+    # Stage 1: best class per anchor (logit space == probability ranking).
+    max_per_anchor = jnp.max(cls_logits, axis=-1)  # [B, A]
+    _, top_anchor_idx = _topk(max_per_anchor, k, approx)  # [B, k]
+    sel_logits = jnp.take_along_axis(cls_logits, top_anchor_idx[..., None], axis=1)  # [B, k, nc]
 
-    flat_vals, flat_idx = jax.lax.top_k(sel_scores.reshape(b, -1), k)  # [B, k]
+    # Stage 2: global top-k over the (anchor, class) pairs of the survivors.
+    flat_logits, flat_idx = _topk(sel_logits.reshape(b, -1), k, approx)  # [B, k]
+    scores = jax.nn.sigmoid(flat_logits.astype(jnp.float32))
     rel_anchor = flat_idx // nc
-    cls_idx = (flat_idx % nc).astype(boxes.dtype)
+    cls_idx = (flat_idx % nc).astype(jnp.float32)
     final_anchor_idx = jnp.take_along_axis(top_anchor_idx, rel_anchor, axis=1)  # [B, k]
 
-    final_boxes = jnp.take_along_axis(boxes, final_anchor_idx[..., None], axis=1)  # [B, k, 4]
-    return jnp.concatenate([final_boxes, flat_vals[..., None], cls_idx[..., None]], axis=-1)
+    final_boxes = _decode_boxes_at(flat, final_anchor_idx, anchors, stride_t, reg_max)
+    return jnp.concatenate([final_boxes, scores[..., None], cls_idx[..., None]], axis=-1)
 
 
 def _nms_single(
@@ -123,7 +165,9 @@ def _nms_single(
 
 @partial(
     jax.jit,
-    static_argnames=("num_classes", "strides", "conf_thresh", "iou_thresh", "max_det", "pre_topk", "class_wise", "multi_label"),
+    static_argnames=(
+        "num_classes", "strides", "conf_thresh", "iou_thresh", "max_det", "pre_topk", "class_wise", "multi_label", "approx",
+    ),
 )
 def decode_nms(
     preds: Sequence[jnp.ndarray],
@@ -136,6 +180,7 @@ def decode_nms(
     pre_topk: int = 1000,
     class_wise: bool = False,
     multi_label: bool = False,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Confidence filter + greedy NMS with a fixed-shape contract.
 
@@ -155,23 +200,24 @@ def decode_nms(
         detections: [B, max_det, 6]; invalid rows zeroed.
         num_dets: [B] int32 count of valid rows (valid rows come first).
     """
-    boxes, cls_logits = _flatten_pyramid(list(preds), num_classes, strides)
-    scores_all = jax.nn.sigmoid(cls_logits)  # [B, A, nc]
-    b, a, nc = scores_all.shape
+    flat, anchors, stride_t, reg_max = _flatten_levels(list(preds), num_classes, strides)
+    cls_logits = flat[..., 4 * reg_max :]
+    b, a, nc = cls_logits.shape
 
     if multi_label:
         k_pre = min(pre_topk, a * nc)
-        flat = scores_all.reshape(b, a * nc)
-        cand_scores, pre_idx = jax.lax.top_k(flat, k_pre)
+        cand_logits, pre_idx = _topk(cls_logits.reshape(b, a * nc), k_pre, approx)
         anc_idx = pre_idx // nc
-        cand_cls = (pre_idx % nc).astype(boxes.dtype)
+        cand_cls = (pre_idx % nc).astype(jnp.float32)
+        cand_scores = jax.nn.sigmoid(cand_logits.astype(jnp.float32))
     else:
-        best_scores = jnp.max(scores_all, axis=-1)
-        best_cls = jnp.argmax(scores_all, axis=-1).astype(boxes.dtype)
+        best_logits = jnp.max(cls_logits, axis=-1)
+        best_cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.float32)
         k_pre = min(pre_topk, a)
-        cand_scores, anc_idx = jax.lax.top_k(best_scores, k_pre)
+        cand_logits, anc_idx = _topk(best_logits, k_pre, approx)
         cand_cls = jnp.take_along_axis(best_cls, anc_idx, axis=1)
-    cand_boxes = jnp.take_along_axis(boxes, anc_idx[..., None], axis=1)  # [B, k_pre, 4]
+        cand_scores = jax.nn.sigmoid(cand_logits.astype(jnp.float32))
+    cand_boxes = _decode_boxes_at(flat, anc_idx, anchors, stride_t, reg_max)  # [B, k_pre, 4]
 
     # Offset per class only: batch separation is free because we vmap.
     group_offset = 8192.0 * 10.0
