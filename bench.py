@@ -20,22 +20,24 @@ import json
 import time
 
 
-def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(8, 16, 32), chain: int = 32) -> dict:
+def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), chain: int = 16) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from leanyolo_tpu.models.yolov10.decode import decode_topk
+    from leanyolo_tpu.models.yolov10.fold import fold_params
     from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
 
     model = YOLOv10.create(variant, class_names=[f"c{i}" for i in range(80)])
     cfg = model.cfg
-    params = model.params
+    # BN-folded + RepVGGDW-fused serving params (mathematically equivalent).
+    params = jax.device_put(fold_params(model.params))
 
     def forward(p, images):
         raw = model_apply(p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",))
-        feats = [f.astype(jnp.float32) for f in raw["one2one"]]
-        return decode_topk(feats, num_classes=80, strides=cfg.strides, max_det=300)
+        # Exact official decode (approx=False) for the honest headline number.
+        return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300)
 
     from functools import partial
 
