@@ -73,11 +73,19 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
 
 
 def main() -> None:
-    r = bench_variant()
+    import argparse
+
+    p = argparse.ArgumentParser(description="leanyolo-tpu inference benchmark")
+    p.add_argument("--variant", default="yolov10s")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch-sizes", default="32,128")
+    args = p.parse_args()
+
+    r = bench_variant(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")))
     print(
         json.dumps(
             {
-                "metric": "yolov10s_640_bf16_images_per_sec_per_chip",
+                "metric": f"{args.variant}_{args.imgsz}_bf16_images_per_sec_per_chip",
                 "value": round(r["best_ips"], 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(r["best_ips"] / 1.0, 2),

@@ -85,6 +85,33 @@ def measure_fps(predictor: Predictor, *, batch_size: int = 1, warmup: int = 5, i
     return (iters * batch_size) / dt
 
 
+def _save_viz_batch(batch, dets, num, ds, *, decode, viz_dir, conf, name_mode, start_index) -> int:
+    """Render detections on letterboxed batch images (reference val.py:190-208)."""
+    import cv2
+
+    from ..utils.viz import draw_detections
+
+    os.makedirs(viz_dir, exist_ok=True)
+    idx = start_index
+    for i, m in enumerate(batch.meta):
+        if m is None:
+            continue
+        d = dets[i]
+        d = d[: int(num[i])] if decode != "topk" else d[d[:, 4] > conf]
+        bgr = cv2.cvtColor(batch.images[i].astype(np.uint8), cv2.COLOR_RGB2BGR)
+        out = draw_detections(bgr, d, ds.class_names)
+        if name_mode == "id":
+            name = f"{m['image_id']}.jpg"
+        elif name_mode == "index":
+            name = f"{idx:06d}.jpg"
+        else:  # 'file': the original file name
+            info = next((im for im in ds.images if im["id"] == m["image_id"]), None)
+            name = os.path.basename(info["file_name"]) if info else f"{idx:06d}.jpg"
+        cv2.imwrite(os.path.join(viz_dir, name), out)
+        idx += 1
+    return idx
+
+
 def validate_coco(
     model,
     *,
@@ -99,33 +126,48 @@ def validate_coco(
     max_images: Optional[int] = None,
     dtype: str = "float32",
     workers: int = 8,
+    class_wise_nms: bool = False,
     save_detections: Optional[str] = None,
     measure_speed: bool = False,
+    predictor: Optional[Predictor] = None,
+    viz_dir: Optional[str] = None,
+    viz_conf: float = 0.25,
+    viz_name_mode: str = "file",
 ) -> Dict[str, float]:
     """Run COCO bbox validation; returns {'map_50_95', 'map_50', 'map_75', ...}.
 
     Mirrors reference validate_coco semantics (tools/val.py:89-248): top-k
     decode keeps everything the decoder emits (conf ignored by official
-    protocol); NMS decode applies conf/IoU thresholds.
+    protocol); NMS decode applies conf/IoU thresholds. Pass `predictor` to
+    reuse a compiled program across calls (e.g. per-epoch eval in training).
+
+    viz_name_mode: 'file' (original filename), 'id' (image_id.jpg), or
+    'index' (sequential) — the reference's three viz naming modes
+    (tools/val.py:190-208).
     """
     ds = CocoDetection(images_dir, ann_json, img_size=imgsz, max_images=max_images)
     loader = DataLoader(ds, batch_size=batch_size, shuffle=False, workers=workers, max_boxes=1)
 
-    predictor = Predictor(
-        model,
-        imgsz=imgsz,
-        decode=decode,
-        conf_thresh=conf_thresh,
-        iou_thresh=iou_thresh,
-        max_det=max_det,
-        dtype=dtype,
-        donate=False,
-    )
+    if predictor is None:
+        predictor = Predictor(
+            model,
+            imgsz=imgsz,
+            decode=decode,
+            conf_thresh=conf_thresh,
+            iou_thresh=iou_thresh,
+            max_det=max_det,
+            class_wise_nms=class_wise_nms,
+            dtype=dtype,
+            donate=False,
+        )
+    else:
+        predictor.model.params = model.params  # refresh weights, keep the jit
 
     import jax.numpy as jnp
 
     all_results: List[dict] = []
     n_images = 0
+    viz_index = 0
     t0 = time.perf_counter()
     for batch in loader:
         dets, num = predictor.run_batch(jnp.asarray(batch.images))
@@ -140,6 +182,11 @@ def validate_coco(
         all_results.extend(
             detections_to_coco_results(dets, num, metas, ds.cat_ids, decode=decode, conf_for_topk=0.0)
         )
+        if viz_dir:
+            viz_index = _save_viz_batch(
+                batch, dets, num, ds, decode=decode, viz_dir=viz_dir, conf=viz_conf,
+                name_mode=viz_name_mode, start_index=viz_index,
+            )
         n_images += sum(m is not None for m in batch.meta)
     wall = time.perf_counter() - t0
 

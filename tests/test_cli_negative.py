@@ -1,0 +1,74 @@
+"""Negative CLI tests: bad args and paths fail fast with clear errors.
+
+Mirrors the reference negative tier (reference: leanyolo/tests/
+test_tools_train_cli_negative.py:35-131).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def _run(mod_name, argv, monkeypatch):
+    import importlib
+
+    monkeypatch.setattr(sys, "argv", argv)
+    mod = importlib.import_module(mod_name)
+    mod.main()
+
+
+def test_infer_unknown_model(monkeypatch, tmp_path):
+    with pytest.raises(ValueError, match="Unknown model"):
+        _run("infer", ["infer.py", "--source", str(tmp_path), "--model", "yolov11", "--weights", "none"], monkeypatch)
+
+
+def test_infer_missing_source(monkeypatch):
+    with pytest.raises(FileNotFoundError):
+        _run("infer", ["infer.py", "--source", "/nope/missing", "--model", "yolov10n", "--weights", "none"], monkeypatch)
+
+
+def test_infer_bad_imgsz(monkeypatch, tmp_path):
+    import numpy as np
+    import cv2
+
+    img = tmp_path / "x.jpg"
+    cv2.imwrite(str(img), np.zeros((32, 32, 3), np.uint8))
+    with pytest.raises(ValueError, match="divisible by 32"):
+        _run("infer", ["infer.py", "--source", str(img), "--model", "yolov10n", "--weights", "none", "--imgsz", "50"], monkeypatch)
+
+
+def test_train_missing_ann(monkeypatch, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        _run(
+            "train",
+            ["train.py", "--train-images", str(tmp_path), "--train-ann", str(tmp_path / "missing.json"), "--epochs", "1"],
+            monkeypatch,
+        )
+
+
+def test_val_bad_weights_path(monkeypatch, tmp_path):
+    (tmp_path / "bad.npz").write_bytes(b"not a real npz")
+    import json
+
+    ann = {"images": [], "annotations": [], "categories": [{"id": 1, "name": "a"}]}
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    with pytest.raises((ValueError, Exception)):
+        _run(
+            "val",
+            [
+                "val.py", "--model", "yolov10n", "--weights", str(tmp_path / "bad.npz"),
+                "--images-dir", str(tmp_path), "--ann-json", str(ann_path), "--imgsz", "64",
+            ],
+            monkeypatch,
+        )
+
+
+def test_sqa_runner_agent_mode_requires_cmd(monkeypatch, tmp_path):
+    plan = tmp_path / "plan.yaml"
+    plan.write_text("tests:\n  - id: T1\n    name: t\n    steps: ['true']\n")
+    with pytest.raises(SystemExit, match="agent-cmd"):
+        _run("sqa_runner", ["sqa_runner.py", "--plan", str(plan), "--mode", "agent", "--out-dir", str(tmp_path / "o")], monkeypatch)

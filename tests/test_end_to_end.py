@@ -19,11 +19,14 @@ def test_validate_coco_synthetic(tmp_path):
 
     img_dir, ann = make_synth_coco(str(tmp_path))
     model = get_model("yolov10n", weights=None, class_names=["class0", "class1", "class2"])
+    viz_dir = str(tmp_path / "viz")
     stats = validate_coco(
-        model, images_dir=img_dir, ann_json=ann, imgsz=64, batch_size=2, decode="topk", workers=2
+        model, images_dir=img_dir, ann_json=ann, imgsz=64, batch_size=2, decode="topk", workers=2,
+        viz_dir=viz_dir, viz_conf=0.0, viz_name_mode="id",
     )
     assert 0.0 <= stats["map_50_95"] <= 1.0
     assert stats["n_images"] == 4
+    assert sorted(os.listdir(viz_dir)) == ["1.jpg", "2.jpg", "3.jpg", "4.jpg"]
 
 
 def test_validate_nms_decode_synthetic(tmp_path):

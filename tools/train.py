@@ -112,6 +112,13 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
 
+    eval_predictor = None
+    if args.val_images and args.val_ann:
+        from leanyolo_tpu.engine.predictor import Predictor
+
+        # One compiled eval program reused across epochs.
+        eval_predictor = Predictor(model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False)
+
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         running = {"total": 0.0, "cls": 0.0, "reg": 0.0}
@@ -141,6 +148,7 @@ def main() -> None:
                     batch_size=args.batch_size,
                     decode="topk",
                     workers=args.workers,
+                    predictor=eval_predictor,
                 )
                 print(f"epoch {epoch + 1} mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f}")
             except Exception as e:  # per-epoch eval failures shouldn't kill training

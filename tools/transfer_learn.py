@@ -125,6 +125,10 @@ def main() -> None:
     trainer = Trainer(model, cfg, mesh=mesh)
     key = jax.random.PRNGKey(args.seed)
 
+    from leanyolo_tpu.engine.predictor import Predictor
+
+    eval_predictor = Predictor(model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False)
+
     best_map = -1.0
     for epoch in range(args.epochs):
         if cfg.freeze_backbone and epoch == args.unfreeze_epoch:
@@ -154,6 +158,7 @@ def main() -> None:
                 batch_size=args.batch_size,
                 decode="topk",
                 workers=args.workers,
+                predictor=eval_predictor,
             )
             log.info(f"VAL epoch {epoch + 1} mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f}")
             if stats["map_50_95"] > best_map:

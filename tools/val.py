@@ -35,10 +35,14 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--conf", type=float, default=0.001)
     p.add_argument("--iou", type=float, default=0.65)
     p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--class-wise-nms", action="store_true", help="per-class NMS (offset trick)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--dtype", choices=["float32", "bf16"], default="float32")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--save-detections", default=None)
+    p.add_argument("--viz-dir", default=None, help="save annotated letterboxed images here")
+    p.add_argument("--viz-conf", type=float, default=0.25)
+    p.add_argument("--viz-name-mode", choices=["file", "id", "index"], default="file")
     p.add_argument("--measure-fps", action="store_true")
     p.add_argument("--log-csv", default="runs/val_log.csv")
     p.add_argument("--notes", default="")
@@ -92,8 +96,12 @@ def main() -> None:
         max_images=args.max_images,
         dtype=args.dtype,
         workers=args.workers,
+        class_wise_nms=args.class_wise_nms,
         save_detections=args.save_detections,
         measure_speed=args.measure_fps,
+        viz_dir=args.viz_dir,
+        viz_conf=args.viz_conf,
+        viz_name_mode=args.viz_name_mode,
     )
     print(
         f"mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f} "
@@ -127,6 +135,7 @@ def main() -> None:
             "map_75": f"{stats['map_75']:.5f}",
             "fps": f"{stats.get('fps', ''):.1f}" if "fps" in stats else "",
             "detections_json": args.save_detections or "",
+            "viz_dir": args.viz_dir or "",
             "notes": args.notes,
         },
     )
