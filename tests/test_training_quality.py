@@ -1,0 +1,105 @@
+"""Training-path quality tests: loss ordering and short-horizon overfitting.
+
+Mirrors the reference loss-behavior tier (reference: leanyolo/tests/
+test_losses_v10.py:15-247 — loss improves with better predictions) and adds
+an end-to-end overfit smoke test for the full jitted train step.
+"""
+
+import numpy as np
+import pytest
+
+
+def _synth_feats_for_target(box, label, nc=4, reg_max=16, shapes=((8, 8), (4, 4), (2, 2)), strides=(8, 16, 32), good=True):
+    """Construct head outputs that either match a GT box well or are random."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    feats = []
+    for (h, w), s in zip(shapes, strides):
+        f = rng.randn(1, h, w, 4 * reg_max + nc).astype(np.float32) * (0.01 if good else 2.0)
+        if good:
+            f[..., 4 * reg_max :] = -8.0  # all classes near zero prob
+        feats.append(f)
+    if good:
+        # Put a confident, well-localized prediction at the anchor whose cell
+        # center is inside the box, on the right level.
+        x1, y1, x2, y2 = box
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        lvl, s = 0, strides[0]
+        gi, gj = int(cy // s), int(cx // s)
+        ax, ay = gj + 0.5, gi + 0.5  # anchor center in cells
+        dist = np.asarray([ax - x1 / s, ay - y1 / s, x2 / s - ax, y2 / s - ay])
+        for side, d in enumerate(np.clip(dist, 0, reg_max - 1.01)):
+            lo = int(np.floor(d))
+            feats[lvl][0, gi, gj, side * reg_max + lo] = 12.0 * (1 - (d - lo))
+            feats[lvl][0, gi, gj, side * reg_max + min(lo + 1, reg_max - 1)] = 12.0 * (d - lo)
+        feats[lvl][0, gi, gj, 4 * reg_max + label] = 8.0
+    return [jnp.asarray(f) for f in feats]
+
+
+def test_loss_lower_for_better_predictions():
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.models.yolov10.losses import detection_loss_v10
+
+    box = np.asarray([8.0, 8.0, 40.0, 40.0], np.float32)
+    gl = jnp.asarray([[2]], jnp.int32).reshape(1, 1)
+    gb = jnp.asarray(box).reshape(1, 1, 4)
+    gm = jnp.ones((1, 1), bool)
+
+    good = detection_loss_v10(_synth_feats_for_target(box, 2, good=True), gl, gb, gm, num_classes=4)
+    bad = detection_loss_v10(_synth_feats_for_target(box, 2, good=False), gl, gb, gm, num_classes=4)
+    assert float(good["total"]) < float(bad["total"])
+    assert float(good["cls"]) < float(bad["cls"])
+
+
+def test_lambda_scaling():
+    """reg term scales with lambda_dfl/lambda_iou (reference test_losses_v10)."""
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.models.yolov10.losses import _branch_loss
+
+    box = np.asarray([8.0, 8.0, 40.0, 40.0], np.float32)
+    feats = _synth_feats_for_target(box, 2, good=False)
+    gl = jnp.asarray([[2]], jnp.int32).reshape(1, 1)
+    gb = jnp.asarray(box).reshape(1, 1, 4)
+    gm = jnp.ones((1, 1), bool)
+    kw = dict(num_classes=4, reg_max=16, strides=(8, 16, 32), tal_topk=10)
+    base = _branch_loss(feats, gl, gb, gm, **kw)
+    doubled = _branch_loss(feats, gl, gb, gm, lambda_iou=2.0, lambda_dfl=3.0, **kw)
+    assert float(doubled["reg"]) > float(base["reg"])
+    assert float(doubled["cls"]) == pytest.approx(float(base["cls"]))
+
+
+@pytest.mark.slow
+def test_overfit_single_image():
+    """30 jitted train steps on one synthetic image must slash the loss."""
+    import jax
+
+    from leanyolo_tpu.data.dataset import Batch
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    rng = np.random.RandomState(0)
+    img = np.full((1, 64, 64, 3), 100, np.float32)
+    img[0, 16:40, 8:32] = 220.0
+    boxes = np.asarray([[8.0, 16.0, 32.0, 40.0]], np.float32)
+    batch = Batch(
+        img,
+        np.asarray([[0]], np.int32),
+        boxes.reshape(1, 1, 4),
+        np.ones((1, 1), bool),
+        [None],
+    )
+
+    model = YOLOv10.create("yolov10n", class_names=["thing"], seed=0)
+    cfg = TrainConfig(lr=2e-3, epochs=1, steps_per_epoch=30, warmup_epochs=0, augment=False, grad_clip=10.0)
+    tr = Trainer(model, cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        out = tr.train_step(batch, sub)
+        losses.append(float(out["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
