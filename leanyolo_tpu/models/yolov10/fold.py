@@ -65,14 +65,43 @@ def _fuse_repvggdw(node: Params) -> Params:
     return {"conv": {"w": w7 + w3p, "b": f7["b"] + f3["b"]}}
 
 
-def fold_params(tree: Any) -> Any:
+def _fold_norm_into_stem(params: Params) -> Params:
+    """Absorb (x - sub) / div into the (already BN-folded) first conv.
+
+    conv((x - sub) / div, w) + b == conv(x, w / div) + (b - sum(w * sub / div))
+    per output channel, so the model can consume raw pixels with identity
+    normalization buffers — removing an elementwise pass (and the layout copy
+    XLA inserts for it) over the full-resolution input.
+    """
+    sub = np.asarray(params["input_subtract"], np.float32)
+    div = np.asarray(params["input_divide"], np.float32)
+    if np.all(sub == 0.0) and np.all(div == 1.0):
+        return params
+    cv0 = params["backbone"]["cv0"]["conv"]
+    w = np.asarray(cv0["w"], np.float32)  # [kh, kw, cin, cout]
+    b = np.asarray(cv0.get("b", np.zeros(w.shape[-1], np.float32)), np.float32)
+    cv0["w"] = w / div[None, None, :, None]
+    cv0["b"] = b - np.einsum("hwco,c->o", w, sub / div)
+    params["input_subtract"] = np.zeros_like(sub)
+    params["input_divide"] = np.ones_like(div)
+    return params
+
+
+def fold_params(tree: Any, *, fold_norm: bool = True) -> Any:
     """Recursively fold a full model parameter tree for serving."""
+    out = _fold_tree(tree)
+    if fold_norm and isinstance(out, dict) and "input_subtract" in out:
+        out = _fold_norm_into_stem(out)
+    return out
+
+
+def _fold_tree(tree: Any) -> Any:
     if _is_repvggdw(tree):
         return _fuse_repvggdw(tree)
     if _is_conv_bn(tree):
         return _fold_conv_bn(tree)
     if isinstance(tree, dict):
-        return {k: fold_params(v) for k, v in tree.items()}
+        return {k: _fold_tree(v) for k, v in tree.items()}
     if isinstance(tree, (list, tuple)):
-        return [fold_params(v) for v in tree]
+        return [_fold_tree(v) for v in tree]
     return tree
