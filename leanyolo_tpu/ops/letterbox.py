@@ -71,6 +71,24 @@ def letterbox(
     return img, (float(gain_w), float(gain_h)), (left, top)
 
 
+DEFAULT_SIZE_BUCKETS = (320, 416, 512, 640, 768, 896, 1088, 1280)
+
+
+def choose_bucket(orig_hw: Tuple[int, int], buckets=DEFAULT_SIZE_BUCKETS, max_size: int = 1280) -> int:
+    """Pick the smallest stride-32 bucket that fits the image's long side.
+
+    The models are fully convolutional (reference yolov10s.py:31-32), but jit
+    needs static shapes; a small set of bucketed sizes bounds recompiles
+    (SURVEY.md §5 "sequence scaling" analog). Images larger than max_size
+    downscale into the largest bucket via letterbox.
+    """
+    long_side = max(orig_hw)
+    for b in buckets:
+        if long_side <= b:
+            return b
+    return min(max(buckets), max_size)
+
+
 def letterbox_params(orig_hw: Tuple[int, int], target: int, scaleup: bool = True):
     """Static letterbox geometry for a known original size (host math only)."""
     orig_h, orig_w = orig_hw

@@ -63,6 +63,14 @@ class TestLetterbox:
             np.testing.assert_array_equal(a, b)
             assert ga == gb and pa == pb
 
+    def test_choose_bucket(self):
+        from leanyolo_tpu.ops.letterbox import choose_bucket
+
+        assert choose_bucket((100, 200)) == 320
+        assert choose_bucket((480, 640)) == 640
+        assert choose_bucket((641, 100)) == 768
+        assert choose_bucket((4000, 3000)) == 1280  # clamped to max bucket
+
     def test_jax_letterbox_geometry(self):
         import jax.numpy as jnp
 

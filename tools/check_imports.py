@@ -22,6 +22,12 @@ def top_level_imports(path: Path):
     mods = set()
 
     class V(ast.NodeVisitor):
+        def visit_FunctionDef(self, node):
+            pass  # function-local imports are lazy/optional by convention
+
+        def visit_AsyncFunctionDef(self, node):
+            pass
+
         def visit_If(self, node):
             # Skip `if TYPE_CHECKING:` bodies.
             test = node.test

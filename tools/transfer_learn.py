@@ -89,7 +89,8 @@ def main() -> None:
     class_names = [c["name"] for c in sorted(cats, key=lambda c: c["id"])]
     log.info(f"classes: {class_names}")
 
-    model = get_model(args.model, weights=args.weights, class_names=class_names, seed=args.seed)
+    weights = None if args.weights in (None, "none", "None", "") else args.weights
+    model = get_model(args.model, weights=weights, class_names=class_names, seed=args.seed)
     if not args.no_head_reset:
         model.params["head"] = head_init(
             jax.random.PRNGKey(args.seed + 1), model.nc, model.cfg.neck_out, model.cfg.reg_max
