@@ -137,6 +137,119 @@ def _stem_kernel(xs_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, *, t1: int, w_
     out_ref[0, 0, 0] = z.reshape(t1, w_out, c1).astype(out_ref.dtype)
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _stem_v2_kernel(main_ref, halo_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, *, t1: int, w1: int, wp: int, c0: int, c1: int):
+    """Relayout-free formulation: 4-phase-split input, major-dim row slices,
+    aligned full-width col slices, no in-kernel reshapes of minor dims.
+
+    Index conventions (see fused_stem_v2): xs4[p][q][m, n] = s2d-grid pixel
+    (2*(m-2+tile_row0)+p, 2*(n-2)+q); y_PQ[k', n] = conv0-output (act0) at
+    global (2*(R1-1+k')+P, 2*(n-2)+Q).
+    """
+    t = pl.program_id(1)
+
+    # Assemble the (t1+2)-row phase arrays: main strip + 2 halo rows.
+    xs = {}
+    for p in range(2):
+        for q in range(2):
+            xs[(p, q)] = jnp.concatenate([main_ref[0, p, q], halo_ref[0, 0, p, q]], axis=0)  # [t1+2, wp, cimg4]
+
+    cin = xs[(0, 0)].shape[-1]
+    ws = wp - 8  # working width of y (168 for 640px)
+
+    # conv0: per output phase (P,Q), 4 taps — tap (di,dj) reads source phase
+    # ((P+di-1)%2, (Q+dj-1)%2) at row offset (P+di-1)//2+1, col offset
+    # (Q+dj-1)//2+1 (the +1s come from the 2-block zero padding).
+    y = {}
+    for P in range(2):
+        for Q in range(2):
+            acc = jnp.zeros(((t1 + 1) * ws, c0), jnp.float32)
+            for di in range(2):
+                for dj in range(2):
+                    u, v = P + di - 1, Q + dj - 1
+                    src = xs[(u % 2, v % 2)]
+                    ro = (u - (u % 2)) // 2 + 1  # -1 -> 0, 0/1 -> 1
+                    co = (v - (v % 2)) // 2 + 1
+                    blk = src[ro : ro + t1 + 1, co : co + ws, :].reshape(-1, cin)
+                    acc = acc + jnp.dot(blk, w0_ref[di, dj, :cin, :], preferred_element_type=jnp.float32)
+            z = acc + b0_ref[:][None, :]
+            z = z * jax.nn.sigmoid(z)
+            z = z.reshape(t1 + 1, ws, c0)
+            # Mask conv1's zero padding: y local col n maps to ys block col
+            # n-1, so col 0 is ys col -1; row k'=0 is ys row -1 on strip 0.
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (t1 + 1, ws, 1), 1)
+            z = jnp.where(col_ids == 0, 0.0, z)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (t1 + 1, ws, 1), 0)
+            z = jnp.where(jnp.logical_and(row_ids == 0, t == 0), 0.0, z)
+            y[(P, Q)] = z.astype(main_ref.dtype)
+
+    # conv1: out[r, c1] = sum over (da, db) of ys[r+da, c1+db] @ W1[da, db]
+    # where ys = lane-concat of the four clean phase arrays (K=4*c0 keeps the
+    # MXU fed; y col n = ys col n-1).
+    ys = jnp.concatenate([y[(0, 0)], y[(0, 1)], y[(1, 0)], y[(1, 1)]], axis=-1)  # [t1+1, ws, 4*c0]
+    acc1 = jnp.zeros((t1 * w1, c1), jnp.float32)
+    for da in range(2):
+        for db in range(2):
+            blk = ys[da : da + t1, db : db + w1, :].reshape(-1, 4 * c0)
+            acc1 = acc1 + jnp.dot(blk, w1_ref[da, db], preferred_element_type=jnp.float32)
+    z = acc1 + b1_ref[:][None, :]
+    z = z * jax.nn.sigmoid(z)
+    out_ref[0] = z.reshape(t1, w1, c1).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("t1", "interpret"))
+def fused_stem_v2(images: jnp.ndarray, params: StemParams, *, t1: int = 20, interpret: bool = False) -> jnp.ndarray:
+    """Phase-split fused stem: full-width row strips, no minor-dim reshapes.
+
+    Input prep (one XLA transpose pass): the raw image becomes four
+    phase-split s2d arrays xs4[b, p, q, a, n, 12] where (p, q) is the parity
+    of the s2d-grid coordinate and (a, n) its block position.
+    """
+    b, h, w, c_img = images.shape
+    assert h % 4 == 0 and w % 4 == 0
+    h1, w1 = h // 4, w // 4
+    assert h1 % t1 == 0
+    c0 = params.w0.shape[-1]
+    c1 = params.w1.shape[-1]
+    dtype = params.w0.dtype
+
+    x = images.astype(dtype)
+    # s2d-by-4 with channel order (p2, q2, ch) inside each 2x2 image block and
+    # phase dims (p, q) pulled out front: pixel (4a+2p+p2, 4n+2q+q2).
+    x6 = x.reshape(b, h1, 2, 2, w1, 2, 2, c_img)  # [b, a, p, p2, n, q, q2, ch]
+    xs4 = x6.transpose(0, 2, 5, 1, 4, 3, 6, 7).reshape(b, 2, 2, h1, w1, 4 * c_img)
+
+    # Pad: 2 zero block rows/cols at top/left (conv halo), plus bottom halo
+    # rows and right alignment padding.
+    ws = _round_up(2 + w1 + 1, 8)  # y working width (>= left pad 2 + w1 + right halo)
+    wp = ws + 8
+    xsp4 = jnp.pad(xs4, ((0, 0), (0, 0), (0, 0), (2, t1 + 2), (2, wp - 2 - w1), (0, 0)))
+
+    n_t = h1 // t1
+    main = xsp4[:, :, :, : n_t * t1]
+    halo = jnp.stack([xsp4[:, :, :, t1 * (t + 1) : t1 * (t + 1) + 2] for t in range(n_t)], axis=1)
+
+    kernel = partial(_stem_v2_kernel, t1=t1, w1=w1, wp=wp, c0=c0, c1=c1)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 2, 2, t1, wp, 4 * c_img), lambda bi, ti: (bi, 0, 0, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, 2, 2, wp, 4 * c_img), lambda bi, ti: (bi, ti, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t1, w1, c1), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h1, w1, c1), dtype),
+        interpret=interpret,
+    )(main, halo, params.w0, params.b0, params.w1, params.b1)
+
+
 @partial(jax.jit, static_argnames=("t1", "w1t", "interpret"))
 def fused_stem(
     images: jnp.ndarray, params: StemParams, *, t1: int = 20, w1t: int = 40, interpret: bool = False
