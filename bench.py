@@ -35,8 +35,13 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
     params = jax.device_put(fold_params(model.params))
 
     def forward(p, images):
-        raw = model_apply(p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",))
-        # Exact official decode (approx=False) for the honest headline number.
+        # Params are folded (normalization lives in conv0), the head skips
+        # its concat (decode consumes reg/cls per level), and the decode is
+        # the exact official top-k (approx=False) for the honest headline.
+        raw = model_apply(
+            p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",),
+            normalize=False, concat_head=False,
+        )
         return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300)
 
     from functools import partial

@@ -50,6 +50,7 @@ class Predictor:
         dtype: str = "float32",
         donate: bool = True,
         fuse: bool = False,
+        mesh=None,
     ) -> None:
         if imgsz % 32:
             raise ValueError("imgsz must be divisible by 32")
@@ -70,15 +71,26 @@ class Predictor:
         cfg = model.cfg
         nc = model.nc
 
+        # With folded params (fuse=True), normalization lives in conv0's
+        # weights; skipping the identity (x-0)/1 saves a full-res pass.
+        self._normalize = not fuse
+
         def _fn(params, images):
             x = images.astype(self.dtype)
             branch = ("one2one",) if decode == "topk" else ("one2many",)
-            raw = model_apply(params, x, cfg, train=False, branches=branch)
-            feats = [f.astype(jnp.float32) for f in raw[branch[0]]]
             if decode == "topk":
-                dets = decode_topk(feats, num_classes=nc, strides=cfg.strides, max_det=self.max_det)
+                # Split head outputs: decode ranks per level; selections are
+                # upcast inside decode_topk (bf16->f32 is monotonic, so the
+                # selected set is identical to an all-f32 pipeline).
+                raw = model_apply(
+                    params, x, cfg, train=False, branches=branch,
+                    normalize=self._normalize, concat_head=False,
+                )
+                dets = decode_topk(raw[branch[0]], num_classes=nc, strides=cfg.strides, max_det=self.max_det)
                 num = jnp.sum(dets[..., 4] > self.conf_thresh, axis=-1).astype(jnp.int32)
-                return dets, num
+                return dets.astype(jnp.float32), num
+            raw = model_apply(params, x, cfg, train=False, branches=branch, normalize=self._normalize)
+            feats = [f.astype(jnp.float32) for f in raw[branch[0]]]
             return decode_nms(
                 feats,
                 num_classes=nc,
@@ -89,7 +101,34 @@ class Predictor:
                 class_wise=self.class_wise_nms,
             )
 
-        self._fn = jax.jit(_fn, donate_argnums=(1,) if donate else ())
+        self._fn_raw = _fn  # unjitted: composable into larger programs (benchmarks, DP)
+
+        def _fn_canvas(params, canvas, new_hw, pads, hw):
+            from ..ops.letterbox import letterbox_batch_jax
+
+            images = letterbox_batch_jax(canvas, new_hw, pads, hw, self.imgsz)
+            return _fn(params, images)
+
+        # Data-parallel inference: with a mesh, params replicate and the
+        # batch shards over the data axis; GSPMD partitions the whole
+        # forward+decode (a new capability vs the single-device reference,
+        # SURVEY.md §2.3). Batch size must divide by the mesh size.
+        self.mesh = mesh
+        donate_kw = {"donate_argnums": (1,) if donate else ()}
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharded, replicated
+
+            rep, shd = replicated(mesh), batch_sharded(mesh)
+            self._fn = jax.jit(_fn, in_shardings=(rep, shd), out_shardings=(shd, shd), **donate_kw)
+            self._fn_canvas = jax.jit(
+                _fn_canvas, in_shardings=(rep, shd, shd, shd, shd), out_shardings=(shd, shd), **donate_kw
+            )
+        else:
+            self._fn = jax.jit(_fn, **donate_kw)
+            # Device-side preprocessing: letterbox warp fused into the same
+            # XLA program as the forward (north star: preprocess rides HBM
+            # once). Compiles once per canvas bucket, not per image size.
+            self._fn_canvas = jax.jit(_fn_canvas, **donate_kw)
 
     # -- device API ---------------------------------------------------------
 
@@ -97,23 +136,48 @@ class Predictor:
         """images: [B, S, S, 3] float raw pixels -> (dets [B, k, 6], num [B])."""
         return self._fn(self.model.params, images)
 
+    def run_canvas(self, canvas, new_hw, pads, hw) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-preprocess path: unletterboxed images on a fixed canvas.
+
+        canvas [B, Hc, Wc, 3] with image i pasted at the top-left; geometry
+        arrays as produced by `canvas_batch`. Letterbox happens on device.
+        """
+        return self._fn_canvas(self.model.params, jnp.asarray(canvas), new_hw, pads, hw)
+
     # -- host convenience ---------------------------------------------------
 
-    def predict_images(self, images_rgb: Sequence[np.ndarray], *, apply_conf_filter: bool = True) -> List[np.ndarray]:
+    def predict_images(
+        self,
+        images_rgb: Sequence[np.ndarray],
+        *,
+        apply_conf_filter: bool = True,
+        preprocess: str = "host",
+    ) -> List[np.ndarray]:
         """Full pipeline for a list of HWC RGB uint8 images of any size.
 
-        Letterboxes on host, runs the compiled program, and maps boxes back
-        into each original image's coordinates.
+        preprocess='host': cv2 letterbox per image (reference-exact pixels).
+        preprocess='device': paste onto a fixed canvas and letterbox on
+        device inside the same XLA program as the forward (bucketed canvas
+        sizes bound recompiles; parity with the host path is at the mAP
+        level, not per-pixel — cv2 uses fixed-point interpolation).
+        Boxes come back in original-image coordinates either way.
         """
         from ..ops.boxes import unletterbox_coords
 
-        lbs, metas = [], []
-        for img in images_rgb:
-            lb, gain, pad = letterbox(img, self.imgsz)
-            lbs.append(lb.astype(np.float32))
-            metas.append((gain, pad, img.shape[:2]))
-        batch = jnp.asarray(np.stack(lbs))
-        dets, num = self.run_batch(batch)
+        if preprocess == "device":
+            from ..ops.letterbox import canvas_batch
+
+            canvas, new_hw, pads, hw, cmetas = canvas_batch(images_rgb, self.imgsz)
+            metas = [(gain, pad, orig_hw) for gain, pad, orig_hw in cmetas]
+            dets, num = self.run_canvas(canvas, jnp.asarray(new_hw), jnp.asarray(pads), jnp.asarray(hw))
+        else:
+            lbs, metas = [], []
+            for img in images_rgb:
+                lb, gain, pad = letterbox(img, self.imgsz)
+                lbs.append(lb.astype(np.float32))
+                metas.append((gain, pad, img.shape[:2]))
+            batch = jnp.asarray(np.stack(lbs))
+            dets, num = self.run_batch(batch)
         dets = np.asarray(dets)
         num = np.asarray(num)
 

@@ -88,9 +88,53 @@ def _flatten_pyramid(preds: Sequence[jnp.ndarray], num_classes: int, strides: Se
     return boxes, cls_logits
 
 
+def _split_levels(preds: Sequence, num_classes: int):
+    """Per-level (box_logits [B,HW,4R], cls_logits [B,HW,nc]) + shapes.
+
+    Accepts either concatenated [B, H, W, 4R+nc] maps or (reg, cls) tuples
+    from `model_apply(concat_head=False)` — the latter avoids ever writing
+    the concatenated head output.
+    """
+    levels, hw_shapes = [], []
+    for p in preds:
+        if isinstance(p, (tuple, list)):
+            reg, cls = p
+            b, h, w = reg.shape[0], reg.shape[1], reg.shape[2]
+            assert cls.shape[-1] == num_classes
+            levels.append((reg.reshape(b, h * w, reg.shape[-1]), cls.reshape(b, h * w, num_classes)))
+        else:
+            b, h, w, ct = p.shape
+            flat = p.reshape(b, h * w, ct)
+            levels.append((flat[..., : ct - num_classes], flat[..., ct - num_classes :]))
+        hw_shapes.append((h, w))
+    reg_max = levels[0][0].shape[-1] // 4
+    assert levels[0][0].shape[-1] == 4 * reg_max
+    return levels, hw_shapes, reg_max
+
+
+def _gather_levels(level_arrays: Sequence[jnp.ndarray], idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows by global anchor index from per-level [B, HW_l, C] arrays.
+
+    Equivalent to take_along_axis on the level concat, but without ever
+    materializing the [B, A_total, C] array (the concat + its layout copies
+    cost ~3 ms/step at bs128; three [B, k, C] gathers are negligible).
+    """
+    out = None
+    off = 0
+    for lv in level_arrays:
+        hw = lv.shape[1]
+        loc = jnp.clip(idx - off, 0, hw - 1)
+        g = jnp.take_along_axis(lv, loc[..., None], axis=1)
+        m = ((idx >= off) & (idx < off + hw))[..., None]
+        g = jnp.where(m, g, 0)
+        out = g if out is None else out + g
+        off += hw
+    return out
+
+
 @partial(jax.jit, static_argnames=("num_classes", "strides", "max_det", "approx"))
 def decode_topk(
-    preds: Sequence[jnp.ndarray],
+    preds: Sequence,
     *,
     num_classes: int,
     strides: Sequence[int] = (8, 16, 32),
@@ -101,21 +145,27 @@ def decode_topk(
 
     Parity: leanyolo/models/yolov10/postprocess.py:167-261 (same two-stage
     selection: top-k anchors by best class score, then top-k over the
-    flattened (anchor, class) pairs of the survivors). Ranking runs on
-    logits; boxes decode only for the final selections.
+    flattened (anchor, class) pairs of the survivors; identical results
+    including tie order). Ranking runs on logits (sigmoid is monotonic) and
+    entirely per level: the [B, A, 4R+nc] level concat of the reference
+    formulation never materializes, boxes decode only for the final
+    selections, and gathers touch [B, k, C] slices only.
 
     Returns:
         [B, k, 6] with columns [x1, y1, x2, y2, score, cls]; k = min(max_det, A).
     """
-    flat, anchors, stride_t, reg_max = _flatten_levels(list(preds), num_classes, strides)
-    cls_logits = flat[..., 4 * reg_max :]
-    b, a, nc = cls_logits.shape
+    levels, hw_shapes, reg_max = _split_levels(list(preds), num_classes)
+    anchors, stride_t = make_anchors(hw_shapes, strides, dtype=jnp.float32)
+    b = levels[0][0].shape[0]
+    a = sum(h * w for h, w in hw_shapes)
+    nc = num_classes
     k = min(max_det, a)
 
-    # Stage 1: best class per anchor (logit space == probability ranking).
-    max_per_anchor = jnp.max(cls_logits, axis=-1)  # [B, A]
+    # Stage 1: best class per anchor, reduced per level (fuses into the head
+    # convs' epilogues instead of re-reading a materialized concat).
+    max_per_anchor = jnp.concatenate([jnp.max(cls, axis=-1) for _, cls in levels], axis=1)  # [B, A]
     _, top_anchor_idx = _topk(max_per_anchor, k, approx)  # [B, k]
-    sel_logits = jnp.take_along_axis(cls_logits, top_anchor_idx[..., None], axis=1)  # [B, k, nc]
+    sel_logits = _gather_levels([cls for _, cls in levels], top_anchor_idx)  # [B, k, nc]
 
     # Stage 2: global top-k over the (anchor, class) pairs of the survivors.
     flat_logits, flat_idx = _topk(sel_logits.reshape(b, -1), k, approx)  # [B, k]
@@ -124,7 +174,10 @@ def decode_topk(
     cls_idx = (flat_idx % nc).astype(jnp.float32)
     final_anchor_idx = jnp.take_along_axis(top_anchor_idx, rel_anchor, axis=1)  # [B, k]
 
-    final_boxes = _decode_boxes_at(flat, final_anchor_idx, anchors, stride_t, reg_max)
+    # DFL + box decode for the k winners only.
+    box_logits = _gather_levels([reg for reg, _ in levels], final_anchor_idx)  # [B, k, 4R]
+    dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)
+    final_boxes = dist2bbox(dist, anchors[final_anchor_idx], xywh=False) * stride_t[final_anchor_idx]
     return jnp.concatenate([final_boxes, scores[..., None], cls_idx[..., None]], axis=-1)
 
 

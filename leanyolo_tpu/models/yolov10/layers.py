@@ -375,8 +375,14 @@ def attention_apply(
     qkv = qkv.reshape(b, n, nh, 2 * kd + hd)
     q, k_, v = qkv[..., :kd], qkv[..., kd : 2 * kd], qkv[..., 2 * kd :]
 
-    attn = jnp.einsum("bine,bjne->bnij", q, k_, preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    # Scores accumulate in fp32 on the MXU but are STORED in the activation
+    # dtype ([B, nh, N, N] is the largest attention buffer — fp32 storage
+    # costs ~1 ms/step at bs128); softmax math still runs in fp32 (the
+    # upcast/downcast fuse into the surrounding kernels, nothing f32
+    # materializes). In fp32 mode both casts are no-ops, so parity paths are
+    # untouched.
+    attn = (jnp.einsum("bine,bjne->bnij", q, k_, preferred_element_type=jnp.float32) * scale).astype(x.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("bnij,bjnd->bind", attn, v, preferred_element_type=jnp.float32).astype(v.dtype)
     out = out.reshape(b, h, w, c)
 

@@ -204,6 +204,7 @@ def _head_level_apply(
     reg_scope="",
     cls_scope="",
     precision=None,
+    concat=True,
 ) -> jnp.ndarray:
     kw = dict(train=train, stats=stats, precision=precision)
     r = L.cba_apply(reg_p["0"], x, scope=f"{reg_scope}/0", **kw)
@@ -217,6 +218,8 @@ def _head_level_apply(
     c = L.cba_apply(cls_p["1"]["0"], c, groups=cc, scope=f"{cls_scope}/1/0", **kw)
     c = L.cba_apply(cls_p["1"]["1"], c, scope=f"{cls_scope}/1/1", **kw)
     c = L.conv2d(c, cls_p["2"]["w"], precision=precision) + cls_p["2"]["b"].astype(x.dtype)
+    if not concat:
+        return r, c
     return jnp.concatenate([r, c], axis=-1)
 
 
@@ -228,11 +231,15 @@ def head_apply(
     train=False,
     stats=None,
     precision=None,
+    concat=True,
 ) -> List[jnp.ndarray]:
     """Run one branch ('one2many' or 'one2one') over the pyramid.
 
     Returns per-level NHWC maps [B, H, W, 4*reg_max + nc]
     (reference head.py:118-135; channel-last instead of channel-first).
+    With concat=False, per-level (reg [B,H,W,4*reg_max], cls [B,H,W,nc])
+    tuples instead — the serving decode consumes them separately, so the
+    concat write never happens.
     """
     if branch == "one2many":
         cv2, cv3, reg_name, cls_name = p["cv2"], p["cv3"], "cv2", "cv3"
@@ -252,6 +259,7 @@ def head_apply(
                 reg_scope=f"head/{reg_name}/{i}",
                 cls_scope=f"head/{cls_name}/{i}",
                 precision=precision,
+                concat=concat,
             )
         )
     return out
@@ -285,6 +293,8 @@ def model_apply(
     stats: Optional[L.BNStats] = None,
     precision=None,
     branches: Tuple[str, ...] = ("one2many", "one2one"),
+    normalize: bool = True,
+    concat_head: bool = True,
 ) -> Dict[str, List[jnp.ndarray]]:
     """Normalize -> backbone -> neck -> head; returns raw branch pyramids.
 
@@ -295,18 +305,28 @@ def model_apply(
         branches: which head branches to compute (both by default; decode
            paths slice what they need — making mode explicit instead of the
            reference's module-state caching at yolov10s.py:118-122).
+        normalize: set False when normalization is folded into conv0
+           (fold.py) — the identity (x-0)/1 otherwise still costs a
+           full-resolution elementwise pass plus a layout copy.
+        concat_head: False returns per-level (reg, cls) tuples (see
+           head_apply), skipping the 4*reg_max+nc concat write.
 
     Returns:
-        {branch: [P3, P4, P5]} NHWC maps with 4*reg_max+nc channels.
+        {branch: [P3, P4, P5]} NHWC maps with 4*reg_max+nc channels
+        (or (reg, cls) tuples with concat_head=False).
     """
-    sub = params["input_subtract"].astype(x.dtype)
-    div = params["input_divide"].astype(x.dtype)
-    x = (x - sub) / div
+    if normalize:
+        sub = params["input_subtract"].astype(x.dtype)
+        div = params["input_divide"].astype(x.dtype)
+        x = (x - sub) / div
     c3, c4, c5 = backbone_apply(params["backbone"], x, cfg, train=train, stats=stats, precision=precision)
     p3, p4, p5 = neck_apply(params["neck"], c3, c4, c5, cfg, train=train, stats=stats, precision=precision)
     out = {}
     for b in branches:
-        out[b] = head_apply(params["head"], (p3, p4, p5), branch=b, train=train, stats=stats, precision=precision)
+        out[b] = head_apply(
+            params["head"], (p3, p4, p5), branch=b, train=train, stats=stats,
+            precision=precision, concat=concat_head,
+        )
     return out
 
 

@@ -135,14 +135,22 @@ def torch_sd_to_params(
             continue
         src[lean] = v
 
+    leaves = flatten_param_paths(params_template)
+
     if official:
-        # Fused RepVGGDW alt names -> unfused names.
+        # Fused RepVGGDW alt names -> unfused names. Conditional on the
+        # destination template, like the reference (keymap.py:45-60): a plain
+        # (non-long-kernel) CIB also has a `cv1.2.conv.weight` leaf, and that
+        # one must NOT be renamed — only keys whose direct name is absent
+        # from the template but whose unfused alt exists are fused spellings.
+        template_keys = {path_to_torch_key(p) for p, _ in leaves}
+        template_keys.discard(None)
         for fused_suf, unfused_suf in REPVGGDW_FUSED_ALT.items():
             for k in list(src.keys()):
-                if k.endswith(fused_suf):
-                    src.setdefault(k[: -len(fused_suf)] + unfused_suf, src.pop(k))
-
-    leaves = flatten_param_paths(params_template)
+                if k.endswith(fused_suf) and k not in template_keys:
+                    cand = k[: -len(fused_suf)] + unfused_suf
+                    if cand in template_keys:
+                        src.setdefault(cand, src.pop(k))
     out = _clone_structure(params_template)
 
     matched, synthesized, shape_filled, missing = [], [], [], []

@@ -104,6 +104,85 @@ def letterbox_params(orig_hw: Tuple[int, int], target: int, scaleup: bool = True
     return (r, r), (left, top), (new_h, new_w)
 
 
+def letterbox_batch_jax(canvas, new_hw, pads, hw, target: int, *, pad_value: float = 114.0):
+    """Batched device letterbox: ONE static program for arbitrary image sizes.
+
+    Images of any original size are pasted top-left onto a fixed host canvas
+    (a pure memcpy — no host resize), and the aspect-preserving resize + pad
+    happens on device as a dynamic-scale separable bilinear warp. Because the
+    per-image geometry (true size, scaled size, pad offsets) arrives as
+    *array* inputs, every batch compiles to the same executable regardless of
+    the original image sizes — the recompile-per-shape problem of a naive
+    `jax.image.resize` path disappears (SURVEY.md §7 hard parts; reference
+    letterbox.py:9-91 is the behavioral spec, with cv2's half-pixel centers).
+
+    Args:
+        canvas: [B, Hc, Wc, 3] float32, image i occupying [:h_i, :w_i].
+        new_hw: [B, 2] int32 scaled (new_h, new_w) per image.
+        pads:   [B, 2] int32 (pad_left, pad_top) per image.
+        hw:     [B, 2] int32 true original (h, w) per image.
+        target: static square output size.
+
+    Returns: [B, target, target, 3] float32 letterboxed batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def one(img, nhw, pad, true_hw):
+        h, w = true_hw[0], true_hw[1]
+        new_h, new_w = nhw[0], nhw[1]
+        left, top = pad[0], pad[1]
+
+        def axis_coords(n_new, n_true, offset, size):
+            dst = jnp.arange(target) - offset
+            # cv2 INTER_LINEAR convention: src = (dst + 0.5) * (old/new) - 0.5
+            src = (dst.astype(jnp.float32) + 0.5) * (n_true / n_new) - 0.5
+            src = jnp.clip(src, 0.0, n_true.astype(jnp.float32) - 1.0)
+            i0 = jnp.floor(src).astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, n_true - 1)
+            frac = src - i0.astype(jnp.float32)
+            valid = (dst >= 0) & (dst < n_new)
+            return i0, i1, frac, valid
+
+        y0, y1, fy, vy = axis_coords(new_h, h, top, img.shape[0])
+        x0, x1, fx, vx = axis_coords(new_w, w, left, img.shape[1])
+        rows = jnp.take(img, y0, axis=0) * (1.0 - fy)[:, None, None] + jnp.take(img, y1, axis=0) * fy[:, None, None]
+        out = jnp.take(rows, x0, axis=1) * (1.0 - fx)[None, :, None] + jnp.take(rows, x1, axis=1) * fx[None, :, None]
+        return jnp.where((vy[:, None] & vx[None, :])[..., None], out, pad_value)
+
+    return jax.vmap(one)(jnp.asarray(canvas, jnp.float32), new_hw, pads, hw)
+
+
+def canvas_batch(images, target: int, *, canvas_size: Optional[int] = None, scaleup: bool = True):
+    """Host prep for `letterbox_batch_jax`: paste images onto a fixed canvas.
+
+    A pure memcpy per image (no host resize/interpolation — that moves to the
+    device warp). Returns (canvas [B, C, C, 3] f32, new_hw [B,2] i32,
+    pads [B,2] i32, hw [B,2] i32, metas) where metas carry the same
+    (gain, pad) contract as the host `letterbox` for unletterboxing.
+    """
+    if canvas_size is None:
+        longest = max(max(int(im.shape[0]), int(im.shape[1])) for im in images)
+        canvas_size = max(target, choose_bucket((longest, longest)))
+    b = len(images)
+    canvas = np.zeros((b, canvas_size, canvas_size, 3), np.float32)
+    new_hw = np.zeros((b, 2), np.int32)
+    pads = np.zeros((b, 2), np.int32)
+    hw = np.zeros((b, 2), np.int32)
+    metas = []
+    for i, img in enumerate(images):
+        h, w = int(img.shape[0]), int(img.shape[1])
+        if h > canvas_size or w > canvas_size:
+            raise ValueError(f"image {h}x{w} exceeds canvas {canvas_size}")
+        (gw, gh), (left, top), (nh, nw) = letterbox_params((h, w), target, scaleup)
+        canvas[i, :h, :w] = img[..., :3]
+        new_hw[i] = (nh, nw)
+        pads[i] = (left, top)
+        hw[i] = (h, w)
+        metas.append(((gw, gh), (left, top), (h, w)))
+    return canvas, new_hw, pads, hw, metas
+
+
 def letterbox_jax(img, target: int, *, pad_value: float = 114.0, scaleup: bool = True):
     """Device letterbox: resize + pad + (caller applies normalization in-model).
 

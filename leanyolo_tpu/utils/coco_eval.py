@@ -85,8 +85,11 @@ class CocoEvaluator:
         if not gts and not dts:
             return None
 
+        # pycocotools area gating is inclusive at BOTH ends: ignore iff
+        # area < rng[0] or area > rng[1] (cocoeval.evaluateImg), so a GT of
+        # exactly 32^2 px counts as both 'small' and 'medium'.
         g_ignore = np.array(
-            [g["iscrowd"] or not (area_rng[0] <= g["area"] < area_rng[1]) for g in gts], dtype=bool
+            [g["iscrowd"] or g["area"] < area_rng[0] or g["area"] > area_rng[1] for g in gts], dtype=bool
         )
         # Non-ignored GTs first (pycocotools sorts by the ignore flag).
         g_order = np.argsort(g_ignore, kind="stable")
@@ -124,7 +127,7 @@ class CocoEvaluator:
 
         # Unmatched dets outside the area range are ignored.
         d_area = d_boxes[:, 2] * d_boxes[:, 3]
-        d_out = (d_area < area_rng[0]) | (d_area >= area_rng[1])
+        d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ig = dt_ig | ((dt_m == 0) & d_out[None])
 
         return {

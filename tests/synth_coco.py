@@ -57,3 +57,40 @@ def make_synth_coco(root, *, n_images=4, size=(96, 128), n_classes=3, boxes_per_
     with open(ann_path, "w", encoding="utf-8") as f:
         json.dump(ann, f)
     return img_dir, ann_path
+
+
+def make_synth_aquarium_tree(root, *, seed=0):
+    """Create a raw Kaggle-Aquarium-style extracted tree for prepare_aquarium:
+    nested split dirs each holding `_annotations.coco.json` plus images whose
+    `file_name` entries carry subdirectory prefixes (so the tool must rewrite
+    them to basenames and resolve files by search)."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    for split in ("train", "valid"):
+        split_dir = os.path.join(root, "Aquarium Combined", split)
+        sub = os.path.join(split_dir, "imgs")
+        os.makedirs(sub, exist_ok=True)
+        images, annotations = [], []
+        for i in range(3):
+            name = f"{split}_{i}.jpg"
+            cv2.imwrite(os.path.join(sub, name), np.full((64, 80, 3), 100 + 5 * i, np.uint8))
+            images.append({"id": i + 1, "file_name": f"imgs/{name}", "width": 80, "height": 64})
+            annotations.append(
+                {
+                    "id": i + 1,
+                    "image_id": i + 1,
+                    "category_id": 1 + (i % 2),
+                    "bbox": [4.0, 4.0, 20.0, 16.0],
+                    "area": 320.0,
+                    "iscrowd": 0,
+                }
+            )
+        ann = {
+            "images": images,
+            "annotations": annotations,
+            "categories": [{"id": 1, "name": "fish"}, {"id": 2, "name": "ray"}],
+        }
+        with open(os.path.join(split_dir, "_annotations.coco.json"), "w", encoding="utf-8") as f:
+            json.dump(ann, f)
+    return root

@@ -1,0 +1,110 @@
+"""Device-side letterbox (fixed-canvas bilinear warp) tests.
+
+The device path must (a) reproduce host-cv2 letterbox pixels closely on
+generic images (cv2 uses fixed-point interpolation, so parity is approximate)
+and exactly on pad regions/geometry, and (b) yield the same mAP as the host
+path on synthetic COCO (mAP-level parity is the acceptance criterion —
+SURVEY.md §7 hard parts; reference letterbox.py:9-91).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+
+def _warp_one(img, target):
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.ops.letterbox import canvas_batch, letterbox_batch_jax
+
+    canvas, new_hw, pads, hw, metas = canvas_batch([img], target)
+    out = letterbox_batch_jax(canvas, jnp.asarray(new_hw), jnp.asarray(pads), jnp.asarray(hw), target)
+    return np.asarray(out)[0], metas[0]
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (96, 64), (100, 100), (37, 53)])
+def test_warp_matches_host_letterbox(shape):
+    from leanyolo_tpu.ops.letterbox import letterbox
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (*shape, 3), np.uint8)
+    target = 64
+
+    want, (gw, gh), (px, py) = letterbox(img, target)
+    got, ((gw2, gh2), (px2, py2), _) = _warp_one(img, target)
+
+    assert (gw2, gh2) == (gw, gh) and (px2, py2) == (px, py)
+    # Pad region must be exactly 114.
+    pad_mask = np.all(want == 114, axis=-1)
+    assert np.all(got[pad_mask] == 114.0)
+    # Interpolated pixels: cv2 INTER_LINEAR is fixed-point (1/2048 steps);
+    # allow ~2 LSB of uint8.
+    diff = np.abs(got.astype(np.float32) - want.astype(np.float32))
+    assert diff.max() <= 2.0, diff.max()
+    assert diff.mean() < 0.3
+
+
+def test_warp_identity_when_size_matches():
+    """target == image size: the warp must be an exact copy."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    got, _ = _warp_one(img, 64)
+    np.testing.assert_array_equal(got, img.astype(np.float32))
+
+
+def test_canvas_batch_mixed_sizes_single_program():
+    """Different original sizes share one canvas shape (no recompiles)."""
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.ops.letterbox import canvas_batch, letterbox_batch_jax
+
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 255, (h, w, 3), np.uint8) for h, w in [(48, 80), (80, 48), (64, 64)]]
+    canvas, new_hw, pads, hw, _ = canvas_batch(imgs, 64)
+    assert canvas.shape[1] == canvas.shape[2] >= 80
+    out = letterbox_batch_jax(canvas, jnp.asarray(new_hw), jnp.asarray(pads), jnp.asarray(hw), 64)
+    assert out.shape == (3, 64, 64, 3)
+    from leanyolo_tpu.ops.letterbox import letterbox
+
+    for i, img in enumerate(imgs):
+        want, _, _ = letterbox(img, 64)
+        diff = np.abs(np.asarray(out)[i] - want.astype(np.float32))
+        assert diff.max() <= 2.0
+
+
+def test_validate_coco_device_preprocess_map_parity(tmp_path):
+    """--preprocess device must reproduce the host path's mAP on synth COCO."""
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.engine.validator import validate_coco
+
+    img_dir, ann = make_synth_coco(str(tmp_path / "coco"), n_images=4)
+    model = get_model("yolov10n", weights=None, class_names=["a", "b", "c"], seed=7)
+    kw = dict(images_dir=img_dir, ann_json=ann, imgsz=64, batch_size=2, workers=2)
+    s_host = validate_coco(model, preprocess="host", **kw)
+    s_dev = validate_coco(model, preprocess="device", **kw)
+    assert s_dev["n_images"] == s_host["n_images"] == 4
+    # Random weights produce near-uniform logits; mAP values must agree
+    # closely (pixel LSB differences only).
+    assert s_dev["map_50_95"] == pytest.approx(s_host["map_50_95"], abs=2e-2)
+
+
+def test_predict_images_device_preprocess():
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    model = YOLOv10.create("yolov10n", class_names=["a"], seed=0)
+    pred = Predictor(model, imgsz=64, decode="topk", conf_thresh=0.0, donate=False)
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 255, (48, 80, 3), np.uint8), rng.randint(0, 255, (80, 48, 3), np.uint8)]
+    out_host = pred.predict_images(imgs, apply_conf_filter=False)
+    out_dev = pred.predict_images(imgs, apply_conf_filter=False, preprocess="device")
+    for dh, dd in zip(out_host, out_dev):
+        assert dh.shape == dd.shape
+        # Boxes in original coords; random-weight logits shift slightly with
+        # LSB pixel changes, so compare scores loosely and shapes strictly.
+        np.testing.assert_allclose(dh[:, 4], dd[:, 4], atol=5e-3)

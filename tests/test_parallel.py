@@ -71,3 +71,46 @@ def test_dryrun_multichip_entry():
 
     n = min(len(jax.devices()), 8)
     g.dryrun_multichip(n)
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_dp_validation_matches_single_device(tmp_path):
+    """Sharded eval over an 8-device mesh must reproduce single-device mAP
+    and per-detection outputs (VERDICT: DP for val, SURVEY §2.3)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.engine.validator import validate_coco
+    from leanyolo_tpu.parallel.mesh import make_mesh
+
+    img_dir, ann = make_synth_coco(str(tmp_path / "coco"), n_images=6)
+    model = get_model("yolov10n", weights=None, class_names=["a", "b", "c"], seed=3)
+
+    kw = dict(images_dir=img_dir, ann_json=ann, imgsz=64, batch_size=8, workers=2)
+    s1 = validate_coco(model, **kw)
+    s8 = validate_coco(model, mesh=make_mesh(8), **kw)
+    assert s8["map_50_95"] == pytest.approx(s1["map_50_95"], abs=1e-9)
+    assert s8["n_images"] == s1["n_images"] == 6
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_dp_predictor_run_batch_sharded():
+    import jax
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import make_mesh
+
+    model = YOLOv10.create("yolov10n", class_names=["a"], seed=0)
+    x = jnp.asarray(np.random.RandomState(0).uniform(0, 255, (8, 64, 64, 3)).astype(np.float32))
+    p1 = Predictor(model, imgsz=64, decode="topk", donate=False)
+    p8 = Predictor(model, imgsz=64, decode="topk", donate=False, mesh=make_mesh(8))
+    d1, n1 = p1.run_batch(x)
+    d8, n8 = p8.run_batch(x)
+    assert d8.sharding.num_devices == 8
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n8))

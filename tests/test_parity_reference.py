@@ -59,7 +59,7 @@ def _convert_to_jax(torch_model, name: str, nc: int = 80):
     return cfg, params
 
 
-@pytest.mark.parametrize("name", ["yolov10n", "yolov10s"])
+@pytest.mark.parametrize("name", ["yolov10n", "yolov10s", "yolov10m", "yolov10b", "yolov10l", "yolov10x"])
 def test_forward_parity_random_weights(name):
     import jax
     import jax.numpy as jnp

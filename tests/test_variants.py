@@ -35,7 +35,7 @@ def test_head_channel_formula():
     assert head_branch_channels(3, (64, 128, 256), 16) == (64, 64)
 
 
-@pytest.mark.parametrize("name", ["yolov10n"])
+@pytest.mark.parametrize("name", ["yolov10n", "yolov10s", "yolov10m", "yolov10b", "yolov10l", "yolov10x"])
 def test_checkpoint_roundtrip_forward_equal(name, tmp_path):
     """Save -> load must reproduce identical forward outputs."""
     import jax

@@ -44,6 +44,14 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--viz-conf", type=float, default=0.25)
     p.add_argument("--viz-name-mode", choices=["file", "id", "index"], default="file")
     p.add_argument("--measure-fps", action="store_true")
+    p.add_argument(
+        "--preprocess", choices=["host", "device"], default="host",
+        help="'device' letterboxes on-TPU inside the compiled program (fixed canvas + bilinear warp)",
+    )
+    p.add_argument(
+        "--data-parallel", type=int, default=0, metavar="N",
+        help="shard eval batches over an N-device mesh (0 = single device)",
+    )
     p.add_argument("--log-csv", default="runs/val_log.csv")
     p.add_argument("--notes", default="")
     return p.parse_args()
@@ -83,6 +91,14 @@ def main() -> None:
     weights = None if args.weights in ("none", "None", "") else args.weights
     model = get_model(args.model, weights=weights, class_names=class_names)
 
+    mesh = None
+    if args.data_parallel:
+        from leanyolo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+        if args.batch_size % args.data_parallel:
+            raise SystemExit("--batch-size must be divisible by --data-parallel")
+
     stats = validate_coco(
         model,
         images_dir=images_dir,
@@ -102,6 +118,8 @@ def main() -> None:
         viz_dir=args.viz_dir,
         viz_conf=args.viz_conf,
         viz_name_mode=args.viz_name_mode,
+        preprocess=args.preprocess,
+        mesh=mesh,
     )
     print(
         f"mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f} "
