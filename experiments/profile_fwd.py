@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--bs", type=int, default=128)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--train", action="store_true", help="profile the train step instead")
+    ap.add_argument("--nmax", type=int, default=128, help="padded GT boxes per image (train)")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
@@ -41,26 +42,32 @@ def main():
     cfg = model.cfg
 
     if args.train:
-        from leanyolo_tpu.engine.trainer import Trainer
+        from leanyolo_tpu.data.dataset import Batch
+        from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
 
-        tr = Trainer(model, lr=1e-3, batch_size=args.bs, imgsz=args.imgsz, dtype="bfloat16")
-        state = tr.init_state()
+        nmax = args.nmax
+        cfg_t = TrainConfig(bf16=True, augment=True, grad_clip=1.0, steps_per_epoch=1000)
+        tr = Trainer(model, cfg_t)
         rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.uniform(0, 255, (args.bs, args.imgsz, args.imgsz, 3)).astype(np.float32))
-        boxes = jnp.asarray(rng.uniform(0, args.imgsz, (args.bs, 32, 4)).astype(np.float32))
-        labels = jnp.asarray(rng.randint(0, 80, (args.bs, 32)).astype(np.int32))
-        mask = jnp.asarray((rng.uniform(size=(args.bs, 32)) < 0.3).astype(np.float32))
+        b = args.bs
+        x1, y1 = rng.uniform(0, args.imgsz - 40, (2, b, nmax)).astype(np.float32)
+        wh = rng.uniform(8, 40, (2, b, nmax)).astype(np.float32)
+        batch = Batch(
+            rng.uniform(0, 255, (b, args.imgsz, args.imgsz, 3)).astype(np.float32),
+            rng.randint(0, 80, (b, nmax)).astype(np.int32),
+            np.stack([x1, y1, x1 + wh[0], y1 + wh[1]], axis=-1),
+            rng.uniform(size=(b, nmax)) < 0.2,
+            [None] * b,
+        )
 
-        def step():
-            nonlocal state
-            state, loss = tr._step(state, x, boxes, labels, mask)
-            return loss
+        def step(key):
+            return tr.train_step(batch, key)
 
-        step()  # compile
-        jax.block_until_ready(step())
+        jax.block_until_ready(step(jax.random.PRNGKey(0))["total"])  # compile
+        jax.block_until_ready(step(jax.random.PRNGKey(1))["total"])
         with jax.profiler.trace(logdir):
-            for _ in range(3):
-                loss = step()
+            for i in range(3):
+                loss = step(jax.random.PRNGKey(2 + i))["total"]
             jax.block_until_ready(loss)
     else:
         params = jax.device_put(fold_params(model.params))

@@ -180,10 +180,17 @@ class Trainer:
             (_, (losses, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, images, gt_labels, gt_boxes, gt_mask
             )
+            # Gradual unfreeze via a traced 0/1 flag — no retrace at the
+            # unfreeze epoch. Grads are zeroed BEFORE the optimizer so AdamW
+            # moments stay cold during the frozen phase (matching the
+            # reference's requires_grad=False freeze, tools/train.py:213-217
+            # — a warm, stale moment at unfreeze would bias the first live
+            # updates), and updates are zeroed AFTER so weight decay cannot
+            # move frozen parameters either.
+            grads = jax.tree_util.tree_map(
+                lambda lbl, g: g * bb_scale if lbl == "backbone" else g, self.labels, grads
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
-
-            # Gradual unfreeze: scale backbone/neck updates by a traced 0/1
-            # flag — no retrace at the unfreeze epoch.
             updates = jax.tree_util.tree_map(
                 lambda lbl, u: u * bb_scale if lbl == "backbone" else u, self.labels, updates
             )

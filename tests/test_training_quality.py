@@ -103,3 +103,57 @@ def test_overfit_single_image():
         losses.append(float(out["total"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_frozen_backbone_keeps_moments_cold():
+    """While frozen, backbone params must not move AND the AdamW moments for
+    backbone leaves must stay exactly zero (reference requires_grad freeze,
+    tools/train.py:213-217 — a warm, stale moment at unfreeze would bias the
+    first live updates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.data.dataset import Batch
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    w0_shape = np.asarray(model.params["backbone"]["cv0"]["conv"]["w"]).shape
+    w0_before = np.asarray(model.params["backbone"]["cv0"]["conv"]["w"]).copy()
+
+    cfg = TrainConfig(
+        epochs=4, steps_per_epoch=1, freeze_backbone=True, unfreeze_epoch=2,
+        augment=False, grad_clip=0.0, lr=1e-2,
+    )
+    tr = Trainer(model, cfg)
+    rng = np.random.RandomState(0)
+    b = 2
+    batch = Batch(
+        rng.uniform(0, 255, (b, 64, 64, 3)).astype(np.float32),
+        np.zeros((b, 4), np.int32),
+        np.tile(np.asarray([4, 4, 30, 30], np.float32), (b, 4, 1)),
+        np.concatenate([np.ones((b, 1), bool), np.zeros((b, 3), bool)], axis=1),
+        [None] * b,
+    )
+
+    tr.train_step(batch, jax.random.PRNGKey(0))
+    tr.train_step(batch, jax.random.PRNGKey(1))  # still frozen (epochs 0,1)
+
+    w0_frozen = np.asarray(tr.model.params["backbone"]["cv0"]["conv"]["w"])
+    np.testing.assert_array_equal(w0_frozen, w0_before)
+
+    # cv0's kernel shape is unique in the tree; any optimizer-state leaf with
+    # that shape is one of its AdamW moments and must be identically zero.
+    moment_leaves = [
+        np.asarray(leaf)
+        for leaf in jax.tree_util.tree_leaves(tr.opt_state)
+        if hasattr(leaf, "shape") and tuple(leaf.shape) == tuple(w0_shape)
+    ]
+    assert moment_leaves, "expected AdamW moment leaves for backbone cv0"
+    for leaf in moment_leaves:
+        assert np.all(leaf == 0.0)
+
+    # After the unfreeze epoch the backbone must move again.
+    tr.train_step(batch, jax.random.PRNGKey(2))  # epoch 2: unfrozen
+    w0_after = np.asarray(tr.model.params["backbone"]["cv0"]["conv"]["w"])
+    assert np.abs(w0_after - w0_before).max() > 0
