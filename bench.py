@@ -50,18 +50,23 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
     def chained(p, images, n):
         def body(_, x):
             dets = forward(p, x)
-            # Data dependence so iterations can't be elided or deduplicated;
-            # the perturbation is far below fp32 resolution of pixel values.
-            return x + jnp.tanh(jnp.sum(dets)) * 1e-30
+            # Data dependence so iterations can't be elided or deduplicated:
+            # tanh of a runtime sum is not constant-foldable, and the uint8
+            # cast of ~1e-30 is 0 at runtime, so pixels stay valid.
+            return x + (jnp.tanh(jnp.sum(dets)) * 1e-30).astype(x.dtype)
 
         x = jax.lax.fori_loop(0, n, body, images)
-        return jnp.sum(x[0, 0, 0])
+        return jnp.sum(x[0, 0, 0].astype(jnp.float32))
 
     results = {}
     best_ips, best_bs = 0.0, 0
     for bs in batch_sizes:
-        x0 = jnp.asarray(np.random.RandomState(0).uniform(0, 255, (bs, imgsz, imgsz, 3)).astype(np.float32))
-        x1 = jnp.asarray(np.random.RandomState(1).uniform(0, 255, (bs, imgsz, imgsz, 3)).astype(np.float32))
+        # uint8 raw pixels, as a real serving pipeline delivers them (image
+        # decoders emit uint8); the uint8->bf16 cast is part of the measured
+        # program. An f32 input would instead measure a 4x-larger HBM read
+        # plus a full-res f32->bf16 convert that no production path performs.
+        x0 = jnp.asarray(np.random.RandomState(0).randint(0, 256, (bs, imgsz, imgsz, 3), np.uint8))
+        x1 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (bs, imgsz, imgsz, 3), np.uint8))
         try:
             float(chained(params, x0, chain))  # compile + warm at the same static n
         except Exception:

@@ -74,7 +74,10 @@ def main():
 
         @jax.jit
         def fwd(p, images):
-            raw = model_apply(p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",))
+            raw = model_apply(
+                p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",),
+                normalize=False, concat_head=False,
+            )
             return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300)
 
         rng = np.random.RandomState(0)

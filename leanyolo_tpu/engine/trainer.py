@@ -198,6 +198,8 @@ class Trainer:
             params = merge_bn_stats(params, bn_updates)
             return params, opt_state, losses
 
+        self._step_raw = step  # unjitted: composable into chained benchmarks
+
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharded, replicated
 
@@ -217,18 +219,35 @@ class Trainer:
             return jax.jit(step, in_shardings=in_shardings, donate_argnums=(0, 1))
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
+    #: GT-count buckets: the TAL assignment is O(B * Nmax * A), and real COCO
+    #: batches rarely exceed ~32 boxes/image, so padding every batch to the
+    #: loader's max_boxes (128) wastes ~4x of the assignment work. Each
+    #: bucket compiles once (bounded set), most steps run the small ones.
+    NMAX_BUCKETS = (8, 16, 32, 64, 128)
+
+    def _nmax_bucket(self, gt_mask) -> int:
+        import numpy as np
+
+        nmax = gt_mask.shape[1]
+        need = int(np.max(np.sum(np.asarray(gt_mask), axis=1))) if nmax else 0
+        for b in self.NMAX_BUCKETS:
+            if need <= b <= nmax:
+                return b
+        return nmax
+
     def train_step(self, batch, key) -> Dict[str, float]:
         cfg = self.cfg
         epoch = self.global_step // max(1, cfg.steps_per_epoch)
         frozen = cfg.freeze_backbone and epoch < cfg.unfreeze_epoch
         bb_scale = jnp.asarray(0.0 if frozen else 1.0, jnp.float32)
+        nb = self._nmax_bucket(batch.gt_mask)
         params, self.opt_state, losses = self._step(
             self.model.params,
             self.opt_state,
             jnp.asarray(batch.images),
-            jnp.asarray(batch.gt_labels),
-            jnp.asarray(batch.gt_boxes),
-            jnp.asarray(batch.gt_mask),
+            jnp.asarray(batch.gt_labels[:, :nb]),
+            jnp.asarray(batch.gt_boxes[:, :nb]),
+            jnp.asarray(batch.gt_mask[:, :nb]),
             key,
             bb_scale,
         )

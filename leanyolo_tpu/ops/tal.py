@@ -32,6 +32,34 @@ class AssignResult(NamedTuple):
     target_gt_idx: jnp.ndarray  # [B, A] int32
 
 
+def _topk_lastdim(x: jnp.ndarray, k: int, block: int = 1200) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last dim, avoiding the full-sort lowering.
+
+    `lax.top_k` on TPU lowers to a complete sort of the last dimension —
+    ~30 ms for the [B, N, 8400] TAL metric at bs32. Selecting top-k within
+    fixed blocks first and merging the per-block winners is exact (every
+    global top-k element is a top-k element of its block, since k <= block)
+    and preserves lax.top_k's tie rule (stable sorts keep ascending index
+    order among equal values at both stages).
+
+    k == 1 short-circuits to max/argmax (argmax picks the first maximum,
+    identical to top_k's tie rule).
+    """
+    n = x.shape[-1]
+    if k == 1:
+        return jnp.max(x, axis=-1, keepdims=True), jnp.argmax(x, axis=-1, keepdims=True).astype(jnp.int32)
+    if n <= 2 * block or n % block:
+        return jax.lax.top_k(x, k)
+    nb = n // block
+    assert k <= block
+    xr = x.reshape(x.shape[:-1] + (nb, block))
+    v, i = jax.lax.top_k(xr, k)  # [..., nb, k]
+    base = (jnp.arange(nb, dtype=jnp.int32) * block)[..., :, None]
+    gidx = (i + base).reshape(x.shape[:-1] + (nb * k,))
+    v2, i2 = jax.lax.top_k(v.reshape(x.shape[:-1] + (nb * k,)), k)
+    return v2, jnp.take_along_axis(gidx, i2, axis=-1)
+
+
 def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     """Anchors with centers inside each GT box. [A,2] x [B,N,4] -> [B,N,A] bool.
 
@@ -74,16 +102,18 @@ def task_aligned_assign(
 
     probs = jax.nn.sigmoid(pd_scores)  # [B, A, C]
     gt_ind = jnp.maximum(gt_labels.astype(jnp.int32), 0)  # [B, N]
-    cls_scores = jnp.take_along_axis(
-        jnp.swapaxes(probs, 1, 2), gt_ind[..., None], axis=1
-    )  # [B, N, A]
+    # probs[b, a, gt[b, n]] as a one-hot contraction on the MXU — the gather
+    # formulation needs a [B, C, A] transpose plus a gather custom-call (and
+    # a scatter in the backward).
+    gt_onehot = (gt_ind[..., None] == jnp.arange(c, dtype=jnp.int32)).astype(probs.dtype)  # [B, N, C]
+    cls_scores = jnp.einsum("bnc,bac->bna", gt_onehot, probs)  # [B, N, A]
 
     align = jnp.clip(cls_scores, 0, 1) ** alpha * jnp.clip(overlaps, 0, 1) ** beta
     align = align * mask_in_gts.astype(align.dtype)
 
     # Top-k per GT -> membership mask (scatter-count without scatter).
     k = min(topk, a)
-    topk_metrics, topk_idxs = jax.lax.top_k(align, k)  # [B, N, k]
+    topk_metrics, topk_idxs = _topk_lastdim(align, k)  # [B, N, k]
     has_any = jnp.max(topk_metrics, axis=-1, keepdims=True) > eps  # [B, N, 1]
     topk_idxs = jnp.where(has_any, topk_idxs, 0)
     counts = jnp.sum(jax.nn.one_hot(topk_idxs, a, dtype=jnp.int32), axis=2)  # [B, N, A]
@@ -98,8 +128,12 @@ def task_aligned_assign(
 
     target_gt_idx = jnp.argmax(mask_pos.astype(jnp.int32), axis=1)  # [B, A]
 
-    target_labels = jnp.take_along_axis(gt_ind, target_gt_idx, axis=1)  # [B, A]
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # [B, A, 4]
+    # Select per-anchor GT rows via a one-hot contraction (N is small): the
+    # gather formulation's backward is a [B, A] -> [B, N] scatter custom-call;
+    # the einsum's backward is another matmul on the MXU.
+    sel = (target_gt_idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(gt_bboxes.dtype)  # [B, A, N]
+    target_labels = jnp.sum(sel.astype(jnp.int32) * gt_ind[:, None, :], axis=-1)  # [B, A]
+    target_bboxes = jnp.einsum("ban,bnf->baf", sel, gt_bboxes)  # [B, A, 4]
     onehot = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
     target_scores = onehot * fg_mask[..., None].astype(pd_scores.dtype)
 

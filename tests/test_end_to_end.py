@@ -133,3 +133,16 @@ def test_infer_cli_synthetic(tmp_path, monkeypatch, capsys):
     infer_mod.main()
     assert (save_dir / "img_0000.jpg").exists()
     assert "saved:" in capsys.readouterr().out
+
+
+def test_measure_fps_chained_protocol():
+    """measure_fps must return a finite positive rate from ONE chained jitted
+    program (bench.py protocol — no per-iteration block_until_ready)."""
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.engine.validator import measure_fps
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    model = YOLOv10.create("yolov10n", class_names=["a"], seed=0)
+    pred = Predictor(model, imgsz=64, decode="topk", donate=False)
+    fps = measure_fps(pred, batch_size=2, warmup=1, iters=3)
+    assert np.isfinite(fps) and fps > 0
