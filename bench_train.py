@@ -18,7 +18,7 @@ import json
 import time
 
 
-def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 64), nboxes: int = 24, steps: int = 8) -> dict:
+def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 64), nboxes: int = 24, steps: int = 16) -> dict:
     import jax
     import numpy as np
 

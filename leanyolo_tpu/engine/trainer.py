@@ -132,8 +132,8 @@ def augment_batch(key, images: jnp.ndarray, gt_boxes: jnp.ndarray, *, p_hflip: f
     gt_boxes = jnp.where(do_flip[:, None, None], fb, gt_boxes)
 
     do_bc = jax.random.uniform(k2, (b,)) < p_bc
-    alpha = 0.8 + 0.4 * jax.random.uniform(k3, (b,))
-    beta = jax.random.uniform(k4, (b,)) * 32.0 - 16.0
+    alpha = (0.8 + 0.4 * jax.random.uniform(k3, (b,))).astype(images.dtype)
+    beta = (jax.random.uniform(k4, (b,)) * 32.0 - 16.0).astype(images.dtype)
     jittered = jnp.clip(images * alpha[:, None, None, None] + beta[:, None, None, None], 0.0, 255.0)
     images = jnp.where(do_bc[:, None, None, None], jittered, images)
     return images, gt_boxes
@@ -169,12 +169,18 @@ class Trainer:
 
         def loss_fn(params, images, gt_labels, gt_boxes, gt_mask):
             stats = BNStats()
-            raw = model_apply(params, images.astype(dtype), model_cfg, train=True, stats=stats)
+            raw = model_apply(params, images, model_cfg, train=True, stats=stats)
             raw = {k: [f.astype(jnp.float32) for f in v] for k, v in raw.items()}
             losses = detection_loss_v10(raw, gt_labels, gt_boxes, gt_mask, num_classes=nc)
             return losses["total"], (losses, stats.updates)
 
         def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask, key, bb_scale):
+            # Cast to the compute dtype BEFORE augmenting: the hflip reverse +
+            # brightness jitter then run at half the bytes, and no separate
+            # full-res f32->bf16 convert pass remains. Pixel values up to 256
+            # are exact in bf16; the jitter rounds ~0.5 LSB of uint8 — noise
+            # well under the augmentation's own randomness.
+            images = images.astype(dtype)
             if cfg.augment:
                 images, gt_boxes = augment_batch(key, images, gt_boxes, p_hflip=cfg.p_hflip, p_bc=cfg.p_bc)
             (_, (losses, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
