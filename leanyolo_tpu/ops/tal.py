@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import box_ciou_pairwise
+from .topk import topk_lastdim as _topk_lastdim
 
 
 class AssignResult(NamedTuple):
@@ -30,34 +31,6 @@ class AssignResult(NamedTuple):
     target_scores: jnp.ndarray  # [B, A, C] float
     fg_mask: jnp.ndarray  # [B, A] bool
     target_gt_idx: jnp.ndarray  # [B, A] int32
-
-
-def _topk_lastdim(x: jnp.ndarray, k: int, block: int = 1200) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k over the last dim, avoiding the full-sort lowering.
-
-    `lax.top_k` on TPU lowers to a complete sort of the last dimension —
-    ~30 ms for the [B, N, 8400] TAL metric at bs32. Selecting top-k within
-    fixed blocks first and merging the per-block winners is exact (every
-    global top-k element is a top-k element of its block, since k <= block)
-    and preserves lax.top_k's tie rule (stable sorts keep ascending index
-    order among equal values at both stages).
-
-    k == 1 short-circuits to max/argmax (argmax picks the first maximum,
-    identical to top_k's tie rule).
-    """
-    n = x.shape[-1]
-    if k == 1:
-        return jnp.max(x, axis=-1, keepdims=True), jnp.argmax(x, axis=-1, keepdims=True).astype(jnp.int32)
-    if n <= 2 * block or n % block:
-        return jax.lax.top_k(x, k)
-    nb = n // block
-    assert k <= block
-    xr = x.reshape(x.shape[:-1] + (nb, block))
-    v, i = jax.lax.top_k(xr, k)  # [..., nb, k]
-    base = (jnp.arange(nb, dtype=jnp.int32) * block)[..., :, None]
-    gidx = (i + base).reshape(x.shape[:-1] + (nb * k,))
-    v2, i2 = jax.lax.top_k(v.reshape(x.shape[:-1] + (nb * k,)), k)
-    return v2, jnp.take_along_axis(gidx, i2, axis=-1)
 
 
 def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
