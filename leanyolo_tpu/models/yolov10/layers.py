@@ -150,6 +150,11 @@ def cba_apply(
 ) -> jnp.ndarray:
     """Conv -> BN -> SiLU. Handles both unfused ('bn') and folded ('b') params."""
     y = conv2d(x, p["conv"]["w"], stride=stride, groups=groups, padding=padding, precision=precision)
+    return _bn_act(p, y, act=act, train=train, stats=stats, scope=scope)
+
+
+def _bn_act(p: Params, y: jnp.ndarray, *, act: bool, train=False, stats=None, scope="") -> jnp.ndarray:
+    """The BN/bias + SiLU tail of cba_apply, on a precomputed conv output."""
     if "bn" in p:
         bn = p["bn"]
         if train:
@@ -169,6 +174,23 @@ def cba_apply(
     elif "b" in p["conv"]:
         y = y + p["conv"]["b"].astype(y.dtype)
     return jax.nn.silu(y) if act else y
+
+
+def cba_apply_upcat(p: Params, a: jnp.ndarray, b: jnp.ndarray, *, act=True, train=False, stats=None, scope="", precision=None) -> jnp.ndarray:
+    """`cba_apply(p, concat([upsample2x_nearest(a), b]))` for a 1x1 conv,
+    with the conv distributed over the concat: conv(cat(up(a), b)) ==
+    up(conv_a(a)) + conv_b(b). The upsampled tensor — the largest neck
+    intermediate — never materializes, and the a-half of the matmul runs at
+    quarter resolution. Exact up to fp reassociation (the MXU accumulates
+    each half in fp32; the halves sum once more).
+    """
+    w = p["conv"]["w"]
+    assert w.shape[0] == 1 and w.shape[1] == 1, "upcat distribution needs a 1x1 conv"
+    ca = a.shape[-1]
+    ya = conv2d(a, w[:, :, :ca], precision=precision)
+    yb = conv2d(b, w[:, :, ca:], precision=precision)
+    y = upsample2x_nearest(ya) + yb
+    return _bn_act(p, y, act=act, train=train, stats=stats, scope=scope)
 
 
 def maxpool2d_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -228,9 +250,16 @@ def c2f_init(key, c_in: int, c_out: int, n: int, e: float = 0.5) -> Params:
     }
 
 
-def c2f_apply(p: Params, x: jnp.ndarray, *, shortcut: bool, train=False, stats=None, scope="", precision=None) -> jnp.ndarray:
-    """Split-transform-merge C2f (reference layers.py:129-173)."""
-    y = cba_apply(p["cv1"], x, train=train, stats=stats, scope=f"{scope}/cv1", precision=precision)
+def c2f_apply(p: Params, x, *, shortcut: bool, train=False, stats=None, scope="", precision=None) -> jnp.ndarray:
+    """Split-transform-merge C2f (reference layers.py:129-173).
+
+    `x` may be an `(a, b)` tuple meaning `concat([upsample2x(a), b])` — the
+    cv1 1x1 conv then distributes over the concat (see cba_apply_upcat).
+    """
+    if isinstance(x, tuple):
+        y = cba_apply_upcat(p["cv1"], *x, train=train, stats=stats, scope=f"{scope}/cv1", precision=precision)
+    else:
+        y = cba_apply(p["cv1"], x, train=train, stats=stats, scope=f"{scope}/cv1", precision=precision)
     y1, y2 = jnp.split(y, 2, axis=-1)
     ys = [y1, y2]
     for i, mp in enumerate(p["m"]):
@@ -323,9 +352,16 @@ def c2fcib_init(key, c_in: int, c_out: int, n: int, lk: bool, e: float = 0.5) ->
     }
 
 
-def c2fcib_apply(p: Params, x: jnp.ndarray, *, shortcut: bool, lk: bool, train=False, stats=None, scope="", precision=None) -> jnp.ndarray:
-    """C2f scaffold with CIB inner blocks (reference layers.py:303-335)."""
-    y = cba_apply(p["cv1"], x, train=train, stats=stats, scope=f"{scope}/cv1", precision=precision)
+def c2fcib_apply(p: Params, x, *, shortcut: bool, lk: bool, train=False, stats=None, scope="", precision=None) -> jnp.ndarray:
+    """C2f scaffold with CIB inner blocks (reference layers.py:303-335).
+
+    `x` may be an `(a, b)` tuple meaning `concat([upsample2x(a), b])` — see
+    c2f_apply / cba_apply_upcat.
+    """
+    if isinstance(x, tuple):
+        y = cba_apply_upcat(p["cv1"], *x, train=train, stats=stats, scope=f"{scope}/cv1", precision=precision)
+    else:
+        y = cba_apply(p["cv1"], x, train=train, stats=stats, scope=f"{scope}/cv1", precision=precision)
     y1, y2 = jnp.split(y, 2, axis=-1)
     ys = [y1, y2]
     for i, mp in enumerate(p["m"]):

@@ -117,15 +117,15 @@ def neck_apply(p: Params, c3, c4, c5, cfg: VariantCfg, *, train=False, stats=Non
     kw = dict(train=train, stats=stats, precision=precision)
     types = cfg.types
 
-    up4 = L.upsample2x_nearest(c5)
-    cat4 = jnp.concatenate([up4, c4], axis=-1)
+    # Top-down merges pass (low-res, lateral) tuples: the upsample+concat
+    # distributes into the C2f's 1x1 cv1 (cba_apply_upcat) so the x2
+    # upsampled tensors never materialize.
     if types.get("p5_p4", "C2f") == "C2fCIB":
-        p4 = L.c2fcib_apply(p["p5_p4_c2f"], cat4, shortcut=True, lk=cfg.use_lk_p5_p4, scope="neck/p5_p4_c2f", **kw)
+        p4 = L.c2fcib_apply(p["p5_p4_c2f"], (c5, c4), shortcut=True, lk=cfg.use_lk_p5_p4, scope="neck/p5_p4_c2f", **kw)
     else:
-        p4 = L.c2f_apply(p["p5_p4_c2f"], cat4, shortcut=False, scope="neck/p5_p4_c2f", **kw)
+        p4 = L.c2f_apply(p["p5_p4_c2f"], (c5, c4), shortcut=False, scope="neck/p5_p4_c2f", **kw)
 
-    up3 = L.upsample2x_nearest(p4)
-    p3 = L.c2f_apply(p["p4_p3_c2f"], jnp.concatenate([up3, c3], axis=-1), shortcut=False, scope="neck/p4_p3_c2f", **kw)
+    p3 = L.c2f_apply(p["p4_p3_c2f"], (p4, c3), shortcut=False, scope="neck/p4_p3_c2f", **kw)
 
     down3 = L.cba_apply(p["p3_down"], p3, stride=2, scope="neck/p3_down", **kw)
     cat43 = jnp.concatenate([down3, p4], axis=-1)
