@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.yolov10.decode import _flatten_pyramid, _nms_single
+from ..ops.topk import topk_lastdim
 from ..models.yolov10.model import YOLOv10, model_apply
 from ..version import __version__
 
@@ -65,7 +66,8 @@ def build_serving_fn(
 
     def fn(images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         branch = "one2many" if use_nms else "one2one"
-        raw = model_apply(params, images.astype(compute_dtype), cfg, train=False, branches=(branch,))
+        # With folded params the input normalization lives in conv0.
+        raw = model_apply(params, images.astype(compute_dtype), cfg, train=False, branches=(branch,), normalize=not fuse)
         feats = [f.astype(jnp.float32) for f in raw[branch]]
         boxes, cls_logits = _flatten_pyramid(feats, nc, cfg.strides)
         scores = jax.nn.sigmoid(cls_logits)  # [B, A, nc]
@@ -76,7 +78,7 @@ def build_serving_fn(
             best_cls = jnp.argmax(scores, axis=-1).astype(jnp.float32)
             masked = jnp.where(best_scores >= conf, best_scores, -1.0)
             k = min(max_dets, a)
-            top_vals, top_idx = jax.lax.top_k(masked, k)
+            top_vals, top_idx = topk_lastdim(masked, k)
             sel_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
             sel_scores = jnp.take_along_axis(best_scores, top_idx, axis=1)
             sel_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
@@ -90,7 +92,7 @@ def build_serving_fn(
 
         k_pre = min(pre_topk, a * nc)
         flat = scores.reshape(b, a * nc)
-        cand_scores, pre_idx = jax.lax.top_k(flat, k_pre)
+        cand_scores, pre_idx = topk_lastdim(flat, k_pre)
         anc_idx = pre_idx // nc
         cand_cls = (pre_idx % nc).astype(jnp.float32)
         cand_boxes = jnp.take_along_axis(boxes, anc_idx[..., None], axis=1)
