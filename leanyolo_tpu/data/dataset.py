@@ -161,6 +161,11 @@ class DataLoader:
         self.drop_last = drop_last
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (resume support: a fresh loader replays the
+        exact shuffle order of epoch N)."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.ds)
         if self.drop_last:

@@ -260,3 +260,35 @@ class Trainer:
         self.model.params = params
         self.global_step += 1
         return losses
+
+    # -- resume support (an extension beyond the reference, which saves model
+    # -- weights only and has no --resume; SURVEY §5 checkpoint notes) -------
+
+    def save_train_state(self, path: str) -> None:
+        """Optimizer state + step counter -> one .npz (model weights are
+        checkpointed separately via registry.save_checkpoint)."""
+        import numpy as np
+
+        leaves = jax.tree_util.tree_leaves(self.opt_state)
+        arrs = {f"opt_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+        arrs["global_step"] = np.asarray(self.global_step, np.int64)
+        np.savez(path if path.endswith(".npz") else path + ".npz", **arrs)
+
+    def load_train_state(self, path: str) -> None:
+        """Strict restore into this trainer's optimizer-state structure."""
+        import numpy as np
+
+        leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        with np.load(path, allow_pickle=False) as z:
+            new = []
+            for i, old in enumerate(leaves):
+                arr = z[f"opt_{i}"]
+                if tuple(arr.shape) != tuple(np.shape(old)):
+                    raise ValueError(f"opt state leaf {i}: shape {arr.shape} != {np.shape(old)}")
+                new.append(jnp.asarray(arr, dtype=np.asarray(old).dtype))
+            self.global_step = int(z["global_step"])
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, new)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            self.opt_state = shard_params(self.mesh, self.opt_state)

@@ -47,6 +47,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="runs/train")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from <out-dir>/last.npz + train_state.npz (exact: optimizer "
+        "moments, step counter, augment PRNG stream, and shuffle order all restore)",
+    )
     return p.parse_args()
 
 
@@ -111,7 +116,21 @@ def main() -> None:
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    key = jax.random.PRNGKey(args.seed)
+
+    start_epoch = 0
+    if args.resume:
+        from leanyolo_tpu.models.registry import load_checkpoint_into
+
+        last_ckpt = out_dir / "last.npz"
+        state_ckpt = out_dir / "train_state.npz"
+        if not (last_ckpt.exists() and state_ckpt.exists()):
+            raise SystemExit(f"--resume: {last_ckpt} / {state_ckpt} not found")
+        load_checkpoint_into(model, str(last_ckpt))
+        trainer.load_train_state(str(state_ckpt))
+        start_epoch = trainer.global_step // steps_per_epoch
+        print(f"resumed from {out_dir} at epoch {start_epoch} (step {trainer.global_step})")
+
+    base_key = jax.random.PRNGKey(args.seed)
 
     eval_predictor = None
     if args.val_images and args.val_ann:
@@ -120,12 +139,15 @@ def main() -> None:
         # One compiled eval program reused across epochs.
         eval_predictor = Predictor(model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         running = {"total": 0.0, "cls": 0.0, "reg": 0.0}
         nb = 0
+        loader.set_epoch(epoch)  # replay the exact shuffle order on resume
         for batch in loader:
-            key, sub = jax.random.split(key)
+            # Key derived from the step counter: resume reproduces the exact
+            # augmentation stream of an uninterrupted run.
+            sub = jax.random.fold_in(base_key, trainer.global_step)
             losses = trainer.train_step(batch, sub)
             nb += 1
             if nb % 10 == 0 or nb == steps_per_epoch:
@@ -156,6 +178,8 @@ def main() -> None:
                 print(f"eval failed: {e}")
 
         save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
+        save_checkpoint(model, str(out_dir / "last.npz"), extra_meta={"epoch": epoch + 1})
+        trainer.save_train_state(str(out_dir / "train_state.npz"))
 
     save_checkpoint(model, str(out_dir / "ckpt.npz"))
     print(f"saved final checkpoint: {out_dir / 'ckpt.npz'}")
