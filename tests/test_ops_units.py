@@ -251,3 +251,50 @@ class TestValLog:
         assert lines[0].split(",") == COLUMNS
         row = dict(zip(COLUMNS, lines[1].split(",")))
         assert row["model"] == "yolov10s" and row["fps"] == "42"
+
+
+class TestBlockedTopK:
+    """ops/topk.py: blocked exact top-k must match lax.top_k bit-for-bit,
+    including tie index ordering (ascending among equal values)."""
+
+    def test_matches_lax_topk_random(self):
+        import jax
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.topk import topk_lastdim
+
+        rng = np.random.RandomState(0)
+        for shape, k in [((4, 8400), 300), ((2, 3, 8400), 10), ((5, 24000), 300), ((3, 1000), 300)]:
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+            wv, wi = jax.lax.top_k(x, k)
+            gv, gi = topk_lastdim(x, k)
+            np.testing.assert_array_equal(np.asarray(wv), np.asarray(gv))
+            np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
+
+    def test_matches_lax_topk_ties(self):
+        import jax
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.topk import topk_lastdim
+
+        rng = np.random.RandomState(1)
+        # Heavy ties: few distinct values spread across blocks.
+        x = jnp.asarray(rng.randint(0, 5, (6, 8400)).astype(np.float32))
+        wv, wi = jax.lax.top_k(x, 300)
+        gv, gi = topk_lastdim(x, 300)
+        np.testing.assert_array_equal(np.asarray(wv), np.asarray(gv))
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
+
+    def test_k1_and_degenerate(self):
+        import jax
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.topk import topk_lastdim
+
+        x = jnp.asarray([[3.0, 7.0, 7.0, 1.0]])
+        v, i = topk_lastdim(x, 1)
+        assert float(v[0, 0]) == 7.0 and int(i[0, 0]) == 1  # first max, like top_k
+        v4, i4 = topk_lastdim(x, 4)  # k == n: fall through to lax.top_k
+        wv, wi = jax.lax.top_k(x, 4)
+        np.testing.assert_array_equal(np.asarray(v4), np.asarray(wv))
+        np.testing.assert_array_equal(np.asarray(i4), np.asarray(wi))
