@@ -72,3 +72,96 @@ def test_sqa_runner_agent_mode_requires_cmd(monkeypatch, tmp_path):
     plan.write_text("tests:\n  - id: T1\n    name: t\n    steps: ['true']\n")
     with pytest.raises(SystemExit, match="agent-cmd"):
         _run("sqa_runner", ["sqa_runner.py", "--plan", str(plan), "--mode", "agent", "--out-dir", str(tmp_path / "o")], monkeypatch)
+
+
+def test_val_data_parallel_batch_mismatch(monkeypatch, tmp_path):
+    import json
+
+    ann = {"images": [], "annotations": [], "categories": [{"id": 1, "name": "a"}]}
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    with pytest.raises(SystemExit, match="divisible"):
+        _run(
+            "val",
+            [
+                "val.py", "--model", "yolov10n", "--weights", "none",
+                "--images-dir", str(tmp_path), "--ann-json", str(ann_path),
+                "--imgsz", "64", "--batch-size", "3", "--data-parallel", "2",
+            ],
+            monkeypatch,
+        )
+
+
+def test_val_viz_with_device_preprocess_rejected(monkeypatch, tmp_path):
+    import json
+
+    ann = {
+        "images": [{"id": 1, "file_name": "x.jpg", "width": 32, "height": 32}],
+        "annotations": [],
+        "categories": [{"id": 1, "name": "a"}],
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    with pytest.raises(ValueError, match="preprocess"):
+        _run(
+            "val",
+            [
+                "val.py", "--model", "yolov10n", "--weights", "none",
+                "--images-dir", str(tmp_path), "--ann-json", str(ann_path),
+                "--imgsz", "64", "--preprocess", "device", "--viz-dir", str(tmp_path / "viz"),
+            ],
+            monkeypatch,
+        )
+
+
+def test_train_resume_without_state(monkeypatch, tmp_path):
+    import json
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    ann = {"images": [], "annotations": [], "categories": [{"id": 1, "name": "a"}]}
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    with pytest.raises(SystemExit, match="resume"):
+        _run(
+            "train",
+            [
+                "train.py", "--train-images", str(img_dir), "--train-ann", str(ann_path),
+                "--epochs", "1", "--out-dir", str(tmp_path / "out"), "--resume", "--imgsz", "64",
+            ],
+            monkeypatch,
+        )
+
+
+def test_export_bad_decode_choice(monkeypatch):
+    with pytest.raises(SystemExit):
+        _run(
+            "export_serving",
+            ["export_serving.py", "--model", "yolov10n", "--weights", "none", "--decode", "bogus"],
+            monkeypatch,
+        )
+
+
+def test_convert_missing_local_pt(monkeypatch, tmp_path):
+    with pytest.raises((FileNotFoundError, Exception)):
+        _run(
+            "convert_official_weights",
+            ["convert_official_weights.py", "--model", "yolov10n", "--local-pt", str(tmp_path / "nope.pt")],
+            monkeypatch,
+        )
+
+
+def test_prepare_aquarium_requires_source(monkeypatch, tmp_path):
+    with pytest.raises(SystemExit, match="--zip or --src"):
+        _run("prepare_aquarium", ["prepare_aquarium.py", "--out", str(tmp_path / "o")], monkeypatch)
+
+
+def test_prepare_aquarium_missing_split(monkeypatch, tmp_path):
+    src = tmp_path / "raw"
+    src.mkdir()
+    with pytest.raises(FileNotFoundError, match="train"):
+        _run(
+            "prepare_aquarium",
+            ["prepare_aquarium.py", "--src", str(src), "--out", str(tmp_path / "o")],
+            monkeypatch,
+        )
