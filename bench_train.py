@@ -18,7 +18,7 @@ import json
 import time
 
 
-def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 96), nboxes: int = 24, steps: int = 16) -> dict:
+def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), nboxes: int = 24, steps: int = 16) -> dict:
     import jax
     import numpy as np
 
@@ -81,7 +81,7 @@ def main() -> None:
     p = argparse.ArgumentParser(description="leanyolo-tpu training benchmark")
     p.add_argument("--variant", default="yolov10s")
     p.add_argument("--imgsz", type=int, default=640)
-    p.add_argument("--batch-sizes", default="32,96")
+    p.add_argument("--batch-sizes", default="32,128")
     p.add_argument("--nboxes", type=int, default=24)
     args = p.parse_args()
 

@@ -57,7 +57,8 @@ def main() -> None:
     with open(ann_json, "r", encoding="utf-8") as f:
         cats = json.load(f)["categories"]
     class_names = [c["name"] for c in sorted(cats, key=lambda c: c["id"])]
-    model = get_model(args.model, weights=args.weights, class_names=class_names)
+    weights = None if args.weights in ("none", "None", "") else args.weights
+    model = get_model(args.model, weights=weights, class_names=class_names)
 
     stats = validate_coco(
         model,
