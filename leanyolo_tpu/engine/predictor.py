@@ -114,6 +114,15 @@ class Predictor:
         # forward+decode (a new capability vs the single-device reference,
         # SURVEY.md §2.3). Batch size must divide by the mesh size.
         self.mesh = mesh
+        # Stage params on device once: folded params are host numpy arrays,
+        # and re-feeding them per call re-uploads ~100 MB through the (slow,
+        # tunneled) host link every batch.
+        if mesh is None:
+            self.model.params = jax.device_put(self.model.params)
+        else:
+            from ..parallel.mesh import shard_params
+
+            self.model.params = shard_params(mesh, self.model.params)
         donate_kw = {"donate_argnums": (1,) if donate else ()}
         if mesh is not None:
             from ..parallel.mesh import batch_sharded, replicated

@@ -188,7 +188,11 @@ def validate_coco(
             mesh=mesh,
         )
     else:
-        predictor.model.params = model.params  # refresh weights, keep the jit
+        import jax
+
+        # Refresh weights but keep the compiled program; stage on device so
+        # per-batch calls don't re-upload host arrays.
+        predictor.model.params = jax.device_put(model.params)
 
     import jax.numpy as jnp
 
