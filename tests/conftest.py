@@ -20,6 +20,11 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Reserve the repo's `tools` package in sys.modules now: parity tests put
+# /root/reference (which has its own `tools/`) at sys.path[0], and a later
+# `import tools.train` must not resolve to the reference's CLI.
+import tools  # noqa: E402,F401
+
 # Persistent compilation cache: this host has ONE CPU core, so full-model
 # XLA compiles dominate test time; the cache makes reruns cheap.
 jax.config.update("jax_compilation_cache_dir", os.environ.get("LEANYOLO_TEST_CACHE", "/tmp/leanyolo_tpu_jax_cache"))

@@ -17,6 +17,11 @@ def main() -> None:
     p = argparse.ArgumentParser(description="download all pretrained weights")
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--models", default=None, help="comma-separated subset")
+    p.add_argument(
+        "--no-download",
+        action="store_true",
+        help="only resolve from LEANYOLO_WEIGHTS_DIR / cache; never hit the network",
+    )
     args = p.parse_args()
 
     from leanyolo_tpu.models.registry import _YOLOv10Weights, list_models
@@ -27,7 +32,7 @@ def main() -> None:
     for name in names:
         try:
             entry = resolver.get(name, "PRETRAINED_COCO")
-            path = entry.resolve_path(cache_dir=args.cache_dir)
+            path = entry.resolve_path(cache_dir=args.cache_dir, download=not args.no_download)
             print(f"{name}: OK {path}")
         except Exception as e:
             failed.append(name)
