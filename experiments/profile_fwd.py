@@ -81,7 +81,8 @@ def main():
             return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300)
 
         rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.uniform(0, 255, (args.bs, args.imgsz, args.imgsz, 3)).astype(np.float32))
+        # uint8 pixels, matching bench.py's serving-realistic feed.
+        x = jnp.asarray(rng.randint(0, 256, (args.bs, args.imgsz, args.imgsz, 3)).astype(np.uint8))
         jax.block_until_ready(fwd(params, x))  # compile
         jax.block_until_ready(fwd(params, x))
         with jax.profiler.trace(logdir):

@@ -156,7 +156,6 @@ def decode_topk(
         [B, k, 6] with columns [x1, y1, x2, y2, score, cls]; k = min(max_det, A).
     """
     levels, hw_shapes, reg_max = _split_levels(list(preds), num_classes)
-    anchors, stride_t = make_anchors(hw_shapes, strides, dtype=jnp.float32)
     b = levels[0][0].shape[0]
     a = sum(h * w for h, w in hw_shapes)
     nc = num_classes
@@ -175,10 +174,18 @@ def decode_topk(
     cls_idx = (flat_idx % nc).astype(jnp.float32)
     final_anchor_idx = jnp.take_along_axis(top_anchor_idx, rel_anchor, axis=1)  # [B, k]
 
-    # DFL + box decode for the k winners only.
-    box_logits = _gather_levels([reg for reg, _ in levels], final_anchor_idx)  # [B, k, 4R]
-    dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)
-    final_boxes = dist2bbox(dist, anchors[final_anchor_idx], xywh=False) * stride_t[final_anchor_idx]
+    # DFL + box decode densely PER LEVEL, then gather the k winners' [4]-wide
+    # boxes. Gathering the 4*reg_max logit rows instead forces a layout copy
+    # of the full [B, HW, 64] reg maps before XLA's gather (measured 1.3 ms
+    # at bs128); the dense expectation fuses into the head conv epilogues and
+    # the gather source shrinks 16x. Per-anchor math (and therefore results)
+    # is identical to decoding after the gather.
+    boxes_per_level = []
+    for (reg, _), (h, w), s in zip(levels, hw_shapes, strides):
+        anchors_l, _ = make_anchors([(h, w)], [s], dtype=jnp.float32)  # [HW, 2]
+        dist_l = dfl_expectation(reg.astype(jnp.float32), reg_max)  # [B, HW, 4]
+        boxes_per_level.append(dist2bbox(dist_l, anchors_l[None], xywh=False) * float(s))
+    final_boxes = _gather_levels(boxes_per_level, final_anchor_idx)  # [B, k, 4]
     return jnp.concatenate([final_boxes, scores[..., None], cls_idx[..., None]], axis=-1)
 
 

@@ -285,6 +285,29 @@ class TestBlockedTopK:
         np.testing.assert_array_equal(np.asarray(wv), np.asarray(gv))
         np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
 
+    def test_packed_bf16_matches_lax_topk(self):
+        """bf16 inputs take the packed single-key-sort path; must stay exact."""
+        import jax
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.topk import topk_lastdim
+
+        rng = np.random.RandomState(2)
+        for shape, k in [((4, 8400), 300), ((5, 24000), 300), ((3, 1000), 7)]:
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(jnp.bfloat16)
+            wv, wi = jax.lax.top_k(x, k)
+            gv, gi = topk_lastdim(x, k)
+            np.testing.assert_array_equal(np.asarray(wv, np.float32), np.asarray(gv, np.float32))
+            np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
+        # Heavy ties (few distinct values) + special values: -inf mask, zeros
+        # of both signs, subnormals — the u16 radix map must order them all.
+        x = jnp.asarray(rng.randint(-3, 3, (6, 8400)).astype(np.float32)).astype(jnp.bfloat16)
+        x = x.at[:, ::17].set(-jnp.inf).at[:, 5].set(-0.0).at[:, 6].set(0.0).at[:, 7].set(1e-40)
+        wv, wi = jax.lax.top_k(x, 300)
+        gv, gi = topk_lastdim(x, 300)
+        np.testing.assert_array_equal(np.asarray(wv, np.float32), np.asarray(gv, np.float32))
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
+
     def test_k1_and_degenerate(self):
         import jax
         import jax.numpy as jnp
