@@ -189,7 +189,13 @@ def cba_apply_upcat(p: Params, a: jnp.ndarray, b: jnp.ndarray, *, act=True, trai
     ca = a.shape[-1]
     ya = conv2d(a, w[:, :, :ca], precision=precision)
     yb = conv2d(b, w[:, :, ca:], precision=precision)
-    y = upsample2x_nearest(ya) + yb
+    # Phase-add instead of `upsample2x_nearest(ya) + yb`: viewing yb as
+    # [B, h, 2, w, 2, C] lets the x2 broadcast of ya fuse into the add as an
+    # implicit-broadcast elementwise op (the standalone 6D broadcast
+    # materialized 157 MB at bs128 before the add could run).
+    bn, h, wd, c = ya.shape
+    y = ya[:, :, None, :, None, :] + yb.reshape(bn, h, 2, wd, 2, c)
+    y = y.reshape(bn, 2 * h, 2 * wd, c)
     return _bn_act(p, y, act=act, train=train, stats=stats, scope=scope)
 
 
