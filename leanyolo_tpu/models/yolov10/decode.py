@@ -124,10 +124,20 @@ def _gather_levels(level_arrays: Sequence[jnp.ndarray], idx: jnp.ndarray) -> jnp
     off = 0
     for lv in level_arrays:
         hw = lv.shape[1]
-        loc = jnp.clip(idx - off, 0, hw - 1)
-        g = jnp.take_along_axis(lv, loc[..., None], axis=1)
-        m = ((idx >= off) & (idx < off + hw))[..., None]
-        g = jnp.where(m, g, 0)
+        # One-hot row selection on the MXU: XLA's gather custom-call needs a
+        # row-major layout copy of the whole source and then reads scattered
+        # ~160-byte rows, while the dot streams the source once (measured
+        # 2.0 -> 1.05 ms at [128,1600,80] k=300, experiments/exp_gather.py).
+        # Out-of-level indices match no iota position -> all-zero rows, so
+        # the cross-level merge needs no explicit mask. Each output element
+        # is 1*x + 0*... accumulated in f32: bit-exact vs the gather.
+        oh = (
+            (idx - off)[..., None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw), 2)
+        ).astype(lv.dtype)
+        g = jax.lax.dot_general(
+            oh, lv, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(lv.dtype)
         out = g if out is None else out + g
         off += hw
     return out
