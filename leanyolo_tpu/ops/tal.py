@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import box_ciou_pairwise
-from .topk import topk_lastdim as _topk_lastdim
+from .topk import topk_membership as _topk_membership
 
 
 class AssignResult(NamedTuple):
@@ -84,13 +84,16 @@ def task_aligned_assign(
     align = jnp.clip(cls_scores, 0, 1) ** alpha * jnp.clip(overlaps, 0, 1) ** beta
     align = align * mask_in_gts.astype(align.dtype)
 
-    # Top-k per GT -> membership mask (scatter-count without scatter).
+    # Top-k per GT -> membership mask. Only the SET of top-k anchors is
+    # consumed (the reference scatters indices into a count, tal.py:146-156),
+    # so no ordered (values, indices) top-k is needed: iterative argmax
+    # membership skips the variadic sort entirely (see ops/topk.py). A GT row
+    # whose best metric is <= eps degenerates to {anchor 0}, reproducing the
+    # reference's masked_fill(0) of all k indices.
     k = min(topk, a)
-    topk_metrics, topk_idxs = _topk_lastdim(align, k)  # [B, N, k]
-    has_any = jnp.max(topk_metrics, axis=-1, keepdims=True) > eps  # [B, N, 1]
-    topk_idxs = jnp.where(has_any, topk_idxs, 0)
-    counts = jnp.sum(jax.nn.one_hot(topk_idxs, a, dtype=jnp.int32), axis=2)  # [B, N, A]
-    mask_pos = (counts > 0) & mask_in_gts
+    has_any = jnp.max(align, axis=-1, keepdims=True) > eps  # [B, N, 1]
+    member = _topk_membership(align, k)  # [B, N, A] bool
+    mask_pos = jnp.where(has_any, member, (jnp.arange(a, dtype=jnp.int32) == 0)[None, None]) & mask_in_gts
 
     # Resolve anchors claimed by multiple GTs by the highest CIoU.
     fg_counts = jnp.sum(mask_pos, axis=1)  # [B, A]

@@ -77,6 +77,32 @@ def _topk_packed_bf16(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
     return _unpack_bf16_desc(jax.lax.rev(top, (top.ndim - 1,)))
 
 
+def topk_membership(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Boolean top-k membership mask over the last dimension (no ordering).
+
+    Equivalent to scattering `topk_lastdim(x, k)[1]` into a presence mask,
+    with the same tie rule (equal values admitted in ascending index order,
+    matching lax.top_k). When only the SET of winners is needed — TAL's
+    candidate counting — k rounds of argmax + masking beat any sort: no
+    (value, index) variadic sort and no index materialization (measured
+    9.3 -> 3.0 ms on [128,16,8400] f32 k=10, experiments/exp_topk_tal.py).
+    jnp.argmax returns the first occurrence, so ties resolve identically.
+    """
+    n = x.shape[-1]
+    if k >= n:
+        return jnp.ones(x.shape, bool)
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min, x.dtype)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def body(_, carry):
+        sel, xm = carry
+        hit = jnp.argmax(xm, axis=-1)[..., None] == iota
+        return sel | hit, jnp.where(hit, neg, xm)
+
+    sel, _ = jax.lax.fori_loop(0, k, body, (jnp.zeros(x.shape, bool), x))
+    return sel
+
+
 def topk_lastdim(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k (values, int32 indices) over the last dimension."""
     n = x.shape[-1]

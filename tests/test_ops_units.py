@@ -321,3 +321,38 @@ class TestBlockedTopK:
         wv, wi = jax.lax.top_k(x, 4)
         np.testing.assert_array_equal(np.asarray(v4), np.asarray(wv))
         np.testing.assert_array_equal(np.asarray(i4), np.asarray(wi))
+
+
+class TestTopkMembership:
+    """ops/topk.py::topk_membership — the set-only top-k used by TAL must
+    equal the presence mask of lax.top_k indices, including the
+    first-occurrence tie rule."""
+
+    def test_matches_lax_topk_set(self):
+        import jax
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.topk import topk_membership
+
+        rng = np.random.RandomState(3)
+        for shape, k in [((4, 6, 8400), 10), ((3, 500), 1), ((2, 64), 7)]:
+            x = rng.randn(*shape).astype(np.float32)
+            # exact ties across positions + a constant row
+            x[..., 10:20] = x[..., 30:40]
+            x[0] = 0.25
+            xj = jnp.asarray(x)
+            _, wi = jax.lax.top_k(xj, k)
+            want = np.zeros(shape, bool)
+            np.put_along_axis(want, np.asarray(wi), True, axis=-1)
+            got = np.asarray(topk_membership(xj, k))
+            np.testing.assert_array_equal(got, want)
+            assert got.sum(-1).min() == k == got.sum(-1).max()
+
+    def test_k_ge_n_all_true(self):
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.topk import topk_membership
+
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 5).astype(np.float32))
+        assert bool(np.asarray(topk_membership(x, 5)).all())
+        assert bool(np.asarray(topk_membership(x, 9)).all())
