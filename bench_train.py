@@ -40,7 +40,8 @@ def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 12
         # buckets the TAL pad at 32 rather than the loader's 128 ceiling.
         x1, y1 = rng.uniform(0, imgsz - 60, (2, bs, nboxes)).astype(np.float32)
         wh = rng.uniform(8, 60, (2, bs, nboxes)).astype(np.float32)
-        images = jax.device_put(rng.uniform(0, 255, (bs, imgsz, imgsz, 3)).astype(np.float32))
+        # uint8 raw pixels, matching the data pipeline (data/dataset.py).
+        images = jax.device_put(rng.randint(0, 256, (bs, imgsz, imgsz, 3)).astype(np.uint8))
         gl = jax.device_put(rng.randint(0, 80, (bs, nboxes)).astype(np.int32))
         gb = jax.device_put(np.stack([x1, y1, x1 + wh[0], y1 + wh[1]], axis=-1))
         gm = jax.device_put(rng.uniform(size=(bs, nboxes)) < 0.4)

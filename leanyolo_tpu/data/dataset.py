@@ -7,7 +7,7 @@ tools/train.py:182-189). Differences by design:
 - annotations are indexed ONCE at construction (the reference re-reads the
   full annotation JSON on every __getitem__, coco_simple.py:68-70 — a noted
   perf bug; fixed here);
-- batches are fixed-shape: images [B, S, S, 3] float32 NHWC plus padded
+- batches are fixed-shape: images [B, S, S, 3] uint8 NHWC plus padded
   targets (labels [B, Nmax], boxes [B, Nmax, 4], mask [B, Nmax]) so the
   jitted train step never recompiles;
 - prefetching uses a thread pool feeding a bounded queue (host-side only;
@@ -76,7 +76,13 @@ class CocoDetection:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
-        """Returns (letterboxed HWC float32 image, target dict in letterbox space)."""
+        """Returns (letterboxed HWC uint8 image, target dict in letterbox space).
+
+        uint8 end-to-end: decoded pixels are integers, so staying in uint8
+        costs nothing in precision (integers <= 255 are exact in bf16 after
+        the on-device cast) and moves 4x fewer bytes host->device than the
+        float32 batches the reference pipeline ships.
+        """
         img = self.load_image(idx)
         lb, (gw, gh), (px, py) = letterbox(img, self.img_size)
         info = self.images[idx]
@@ -98,7 +104,7 @@ class CocoDetection:
             "gain": (gw, gh),
             "pad": (px, py),
         }
-        return lb.astype(np.float32), target
+        return np.ascontiguousarray(lb, dtype=np.uint8), target
 
 
 class Batch:

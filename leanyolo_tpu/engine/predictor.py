@@ -183,7 +183,7 @@ class Predictor:
             lbs, metas = [], []
             for img in images_rgb:
                 lb, gain, pad = letterbox(img, self.imgsz)
-                lbs.append(lb.astype(np.float32))
+                lbs.append(np.ascontiguousarray(lb, dtype=np.uint8))  # 4x fewer h2d bytes; cast on device
                 metas.append((gain, pad, img.shape[:2]))
             batch = jnp.asarray(np.stack(lbs))
             dets, num = self.run_batch(batch)

@@ -115,11 +115,16 @@ def make_optimizer(params: Params, cfg: TrainConfig) -> Tuple[optax.GradientTran
     return tx, labels
 
 
-def augment_batch(key, images: jnp.ndarray, gt_boxes: jnp.ndarray, *, p_hflip: float, p_bc: float):
+def augment_batch(key, images: jnp.ndarray, gt_boxes: jnp.ndarray, *, p_hflip: float, p_bc: float, dtype=None):
     """On-device hflip + brightness/contrast in letterbox space.
 
     Parity: transfer_learn_aquarium.py:326-353 (alpha in [0.8, 1.2],
     beta in [-16, 16], clamp to [0, 255]; boxes mirror on flip).
+
+    `dtype` is the compute dtype the result is cast to. The hflip select is
+    a pure index permutation, so it runs BEFORE the cast — on a uint8 batch
+    the reverse+select passes move 1/2 the bytes (flip(cast(x)) ==
+    cast(flip(x)) exactly; integers <= 255 are exact in bf16).
     """
     b = images.shape[0]
     w = images.shape[2]
@@ -127,6 +132,8 @@ def augment_batch(key, images: jnp.ndarray, gt_boxes: jnp.ndarray, *, p_hflip: f
     do_flip = jax.random.uniform(k1, (b,)) < p_hflip
     flipped = images[:, :, ::-1, :]
     images = jnp.where(do_flip[:, None, None, None], flipped, images)
+    if dtype is not None:
+        images = images.astype(dtype)
     x1, y1, x2, y2 = (gt_boxes[..., i] for i in range(4))
     fb = jnp.stack([w - x2, y1, w - x1, y2], axis=-1)
     gt_boxes = jnp.where(do_flip[:, None, None], fb, gt_boxes)
@@ -183,14 +190,16 @@ class Trainer:
             return losses["total"], (losses, stats.updates)
 
         def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask, key, bb_scale):
-            # Cast to the compute dtype BEFORE augmenting: the hflip reverse +
-            # brightness jitter then run at half the bytes, and no separate
-            # full-res f32->bf16 convert pass remains. Pixel values up to 256
-            # are exact in bf16; the jitter rounds ~0.5 LSB of uint8 — noise
-            # well under the augmentation's own randomness.
-            images = images.astype(dtype)
+            # Batches arrive uint8 (data/dataset.py): 4x fewer host->device
+            # bytes than the reference's float32 pipeline, and the augment
+            # hflip runs pre-cast at 1/4 the f32 bytes. The u8 -> compute
+            # dtype cast fuses into the brightness jitter / conv0 input.
             if cfg.augment:
-                images, gt_boxes = augment_batch(key, images, gt_boxes, p_hflip=cfg.p_hflip, p_bc=cfg.p_bc)
+                images, gt_boxes = augment_batch(
+                    key, images, gt_boxes, p_hflip=cfg.p_hflip, p_bc=cfg.p_bc, dtype=dtype
+                )
+            else:
+                images = images.astype(dtype)
             (_, (losses, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, images, gt_labels, gt_boxes, gt_mask
             )
