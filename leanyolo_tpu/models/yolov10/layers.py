@@ -195,6 +195,14 @@ def cba_apply_upcat(p: Params, a: jnp.ndarray, b: jnp.ndarray, *, act=True, trai
     # materialized 157 MB at bs128 before the add could run).
     bn, h, wd, c = ya.shape
     y = ya[:, :, None, :, None, :] + yb.reshape(bn, h, 2, wd, 2, c)
+    if not train:
+        # Apply the BN/bias + SiLU epilogue while still in 6D so the
+        # broadcast-add + epilogue + reshape stay one fusion (the 4D reshape
+        # between add and epilogue left one materialized [B,h,2,w,2,C]
+        # broadcast in the profile). Elementwise ops commute with reshape;
+        # channels stay on the last dim either way. Train mode needs the 4D
+        # view first for the (0,1,2)-axis batch-stat reductions.
+        return _bn_act(p, y, act=act).reshape(bn, 2 * h, 2 * wd, c)
     y = y.reshape(bn, 2 * h, 2 * wd, c)
     return _bn_act(p, y, act=act, train=train, stats=stats, scope=scope)
 
