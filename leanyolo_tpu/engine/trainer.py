@@ -263,14 +263,28 @@ class Trainer:
         epoch = self.global_step // max(1, cfg.steps_per_epoch)
         frozen = cfg.freeze_backbone and epoch < cfg.unfreeze_epoch
         bb_scale = jnp.asarray(0.0 if frozen else 1.0, jnp.float32)
-        nb = self._nmax_bucket(batch.gt_mask)
+        multiproc = self.mesh is not None and jax.process_count() > 1
+        # Multi-process: every process must compile the IDENTICAL program or
+        # the GSPMD collectives deadlock, so the data-dependent GT-pad bucket
+        # is pinned to the loader ceiling; batch arrays are per-host shards
+        # assembled into global jax.Arrays.
+        nb = batch.gt_mask.shape[1] if multiproc else self._nmax_bucket(batch.gt_mask)
+        arrays = (
+            batch.images,
+            batch.gt_labels[:, :nb],
+            batch.gt_boxes[:, :nb],
+            batch.gt_mask[:, :nb],
+        )
+        if multiproc:
+            from ..parallel.distributed import global_batch
+
+            arrays = global_batch(self.mesh, *arrays)
+        else:
+            arrays = tuple(jnp.asarray(a) for a in arrays)
         params, self.opt_state, losses = self._step(
             self.model.params,
             self.opt_state,
-            jnp.asarray(batch.images),
-            jnp.asarray(batch.gt_labels[:, :nb]),
-            jnp.asarray(batch.gt_boxes[:, :nb]),
-            jnp.asarray(batch.gt_mask[:, :nb]),
+            *arrays,
             key,
             bb_scale,
         )

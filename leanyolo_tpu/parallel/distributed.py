@@ -1,0 +1,97 @@
+"""Multi-host (DCN) runtime initialization and global-batch construction.
+
+The reference is single-process (SURVEY.md §2.3: no distributed support);
+this module is the TPU-native scale-out path: `jax.distributed` couples the
+processes of a pod slice / multi-host fleet, `make_hybrid_mesh` lays DP over
+(dcn, ici) axes, and `global_batch` assembles jax.Arrays whose shards live
+on each host's local chips — the single-controller-per-host SPMD model, with
+XLA inserting hierarchical collectives (ICI ring per host + one DCN
+all-reduce) under jit.
+
+Nothing here imports at module scope beyond jax/numpy: a single-host run
+never pays for it and every entry point degrades to the local path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from .mesh import batch_sharded
+
+_INITIALIZED = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    *,
+    local_device_ids=None,
+) -> int:
+    """Join (or start) a multi-process JAX runtime; returns process_count.
+
+    Explicit args win; otherwise LEANYOLO_COORDINATOR / LEANYOLO_NUM_PROCS /
+    LEANYOLO_PROC_ID env vars; otherwise `jax.distributed.initialize()`'s
+    own auto-detection (TPU pod metadata, SLURM, ...). Idempotent: a second
+    call is a no-op, so library code can call it defensively.
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return jax.process_count()
+
+    coordinator_address = coordinator_address or os.environ.get("LEANYOLO_COORDINATOR")
+    if num_processes is None and "LEANYOLO_NUM_PROCS" in os.environ:
+        num_processes = int(os.environ["LEANYOLO_NUM_PROCS"])
+    if process_id is None and "LEANYOLO_PROC_ID" in os.environ:
+        process_id = int(os.environ["LEANYOLO_PROC_ID"])
+
+    if coordinator_address is None and num_processes is None:
+        # Single-host run with no coordinator configured: nothing to join.
+        # (Touching jax.process_count() is safe here — with no coordinator
+        # there is no initialize() ordering hazard.)
+        _INITIALIZED = True
+        return jax.process_count()
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:  # someone initialized the runtime directly
+        if "already" not in str(e).lower():
+            raise
+    _INITIALIZED = True
+    return jax.process_count()
+
+
+def global_batch(mesh, *arrays: Any):
+    """Build batch-sharded jax.Arrays from per-process host shards.
+
+    Each process passes its LOCAL slice of the global batch (the data loader
+    shards files per host); the returned arrays are global: dim 0 is the
+    global batch, with this process's rows resident on its own chips. On a
+    single process this degrades to a plain sharded device_put.
+    """
+    s = batch_sharded(mesh)
+    if jax.process_count() == 1:
+        out = tuple(jax.device_put(np.asarray(a), s) for a in arrays)
+    else:
+        out = tuple(
+            jax.make_array_from_process_local_data(s, np.asarray(a)) for a in arrays
+        )
+    return out if len(out) > 1 else out[0]
+
+
+def process_local_slice(n_global: int) -> slice:
+    """Row range of the global batch owned by this process (even split)."""
+    procs, pid = jax.process_count(), jax.process_index()
+    if n_global % procs:
+        raise ValueError(f"global batch {n_global} not divisible by {procs} processes")
+    per = n_global // procs
+    return slice(pid * per, (pid + 1) * per)

@@ -21,6 +21,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+DCN_AXIS = "dcn"
+
+
 def make_mesh(n_devices: Optional[int] = None, *, axis: str = DATA_AXIS) -> Mesh:
     """1-D mesh over the first n devices (default: all local devices)."""
     devices = jax.devices()
@@ -31,12 +34,44 @@ def make_mesh(n_devices: Optional[int] = None, *, axis: str = DATA_AXIS) -> Mesh
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_hybrid_mesh(
+    n_hosts: Optional[int] = None,
+    *,
+    dcn_axis: str = DCN_AXIS,
+    ici_axis: str = DATA_AXIS,
+) -> Mesh:
+    """2-D (dcn, ici) mesh for multi-host data parallelism.
+
+    Outer axis = host granules connected over DCN, inner axis = the chips of
+    one host connected over ICI. The batch shards over BOTH axes (see
+    batch_sharded); GSPMD then reduces gradients hierarchically — an ICI
+    all-reduce per host ring plus one small cross-host DCN all-reduce —
+    instead of a flat ring over the slow links.
+
+    Multi-process (after distributed.init_distributed): device order groups
+    each process's local chips contiguously, so reshaping to
+    [num_processes, local] puts whole hosts on the outer axis. Single
+    process: `n_hosts` slices the local devices into granules — a topology
+    rehearsal for tests and dryruns.
+    """
+    devices = jax.devices()
+    procs = jax.process_count()
+    if n_hosts is None:
+        n_hosts = procs if procs > 1 else 1
+    if len(devices) % n_hosts:
+        raise ValueError(f"{len(devices)} devices not divisible into {n_hosts} hosts")
+    grid = np.asarray(devices).reshape(n_hosts, len(devices) // n_hosts)
+    return Mesh(grid, (dcn_axis, ici_axis))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharded(mesh: Mesh, *, axis: str = DATA_AXIS) -> NamedSharding:
-    return NamedSharding(mesh, P(axis))
+def batch_sharded(mesh: Mesh, *, axis: Optional[str] = None) -> NamedSharding:
+    """Batch (dim 0) split over every mesh axis — 1-D data meshes and 2-D
+    (dcn, ici) hybrid meshes shard identically from the caller's view."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names) if axis is None else axis))
 
 
 def shard_params(mesh: Mesh, params: Any) -> Any:

@@ -114,3 +114,72 @@ def test_dp_predictor_run_batch_sharded():
     assert d8.sharding.num_devices == 8
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n8))
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_hybrid_mesh_train_step_matches_single_device():
+    """DP over a 2-D (dcn, ici) hybrid mesh — 2 host granules x 4 chips —
+    must match the single-device step (GSPMD hierarchical all-reduce)."""
+    import jax
+
+    from leanyolo_tpu.data.dataset import Batch
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import make_hybrid_mesh
+
+    rng = np.random.RandomState(1)
+    b = 8
+    batch = Batch(
+        rng.randint(0, 256, (b, 64, 64, 3)).astype(np.uint8),
+        np.zeros((b, 4), np.int32),
+        np.tile(np.asarray([4, 4, 30, 30], np.float32), (b, 4, 1)),
+        np.concatenate([np.ones((b, 1), bool), np.zeros((b, 3), bool)], axis=1),
+        [None] * b,
+    )
+    cfg = TrainConfig(epochs=1, steps_per_epoch=1, augment=False, grad_clip=0.0)
+
+    def run(mesh):
+        model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+        tr = Trainer(model, cfg, mesh=mesh)
+        losses = tr.train_step(batch, jax.random.PRNGKey(0))
+        return float(losses["total"])
+
+    mesh = make_hybrid_mesh(2)
+    assert mesh.devices.shape == (2, 4) and mesh.axis_names == ("dcn", "data")
+    assert run(mesh) == pytest.approx(run(None), rel=1e-4)
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_hybrid_mesh_predictor_matches_single_device():
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import make_hybrid_mesh
+
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 256, (8, 64, 64, 3)).astype(np.uint8)
+    model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    p1 = Predictor(model, imgsz=64, decode="topk", donate=False)
+    d1, n1 = p1.run_batch(jnp.asarray(imgs))
+    pm = Predictor(model, imgsz=64, decode="topk", donate=False, mesh=make_hybrid_mesh(2))
+    dm, nm = pm.run_batch(jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(dm), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(nm))
+
+
+def test_distributed_single_process_degrades():
+    """init_distributed with no coordinator is a local no-op; global_batch
+    falls back to a sharded device_put; process_local_slice covers the batch."""
+    from leanyolo_tpu.parallel import distributed as dist
+    from leanyolo_tpu.parallel.mesh import make_mesh
+
+    assert dist.init_distributed() == 1
+    assert dist.init_distributed() == 1  # idempotent
+
+    n = _n_devices()
+    mesh = make_mesh(n)
+    x = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+    xs = dist.global_batch(mesh, x)
+    np.testing.assert_array_equal(np.asarray(xs), x)
+    assert dist.process_local_slice(n) == slice(0, n)  # 1 process owns all rows

@@ -44,6 +44,16 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host data parallelism: join a jax.distributed fleet and "
+        "train DP over a (dcn, ici) hybrid mesh; --batch-size is the GLOBAL "
+        "batch, the COCO image list shards per process, eval/checkpoints "
+        "run on process 0",
+    )
+    p.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="runs/train")
     p.add_argument("--eval-every", type=int, default=1)
@@ -57,10 +67,23 @@ def parse_args() -> argparse.Namespace:
 
 def main() -> None:
     args = parse_args()
+
+    nprocs, pid = 1, 0
+    if args.distributed:
+        # Must run before anything touches the XLA backend (jax.distributed
+        # contract), i.e. before model/dataset construction below.
+        from leanyolo_tpu.parallel.distributed import init_distributed
+
+        nprocs = init_distributed(args.coordinator, args.num_processes, args.process_id)
+
     import json
 
     import jax
     import numpy as np
+
+    if args.distributed:
+        pid = jax.process_index()
+        print(f"distributed: process {pid}/{nprocs}, {jax.local_device_count()} local devices")
 
     from leanyolo_tpu import get_model
     from leanyolo_tpu.data.dataset import CocoDetection, DataLoader
@@ -81,9 +104,23 @@ def main() -> None:
         )
 
     ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz, max_images=args.max_images)
+
+    local_bs = args.batch_size
+    if args.distributed and nprocs > 1:
+        # Disjoint per-process shard of the image list, trimmed so every
+        # process sees the SAME number of steps per epoch (unequal lengths
+        # would deadlock the collectives at the epoch tail).
+        n_even = len(ds.images) // nprocs * nprocs
+        if n_even == 0:
+            raise SystemExit(f"{len(ds.images)} images cannot feed {nprocs} processes")
+        ds.images = ds.images[:n_even][pid::nprocs]
+        if args.batch_size % nprocs:
+            raise SystemExit(f"--batch-size (global) must be divisible by {nprocs} processes")
+        local_bs = args.batch_size // nprocs
+
     loader = DataLoader(
         ds,
-        batch_size=args.batch_size,
+        batch_size=local_bs,
         shuffle=True,
         max_boxes=args.max_boxes,
         workers=args.workers,
@@ -92,7 +129,14 @@ def main() -> None:
     steps_per_epoch = max(1, len(loader))
 
     mesh = None
-    if args.data_parallel:
+    if args.distributed:
+        from leanyolo_tpu.parallel.mesh import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh()
+        if args.batch_size % mesh.devices.size:
+            raise SystemExit(f"--batch-size must be divisible by {mesh.devices.size} devices")
+        print(f"hybrid data-parallel over {mesh.devices.shape} (dcn, ici) devices")
+    elif args.data_parallel:
         from leanyolo_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -133,7 +177,7 @@ def main() -> None:
     base_key = jax.random.PRNGKey(args.seed)
 
     eval_predictor = None
-    if args.val_images and args.val_ann:
+    if args.val_images and args.val_ann and not (args.distributed and nprocs > 1):
         from leanyolo_tpu.engine.predictor import Predictor
 
         # One compiled eval program reused across epochs.
@@ -161,14 +205,22 @@ def main() -> None:
         dt = time.perf_counter() - t0
         print(f"epoch {epoch + 1} done in {dt:.1f}s ({nb * args.batch_size / dt:.1f} img/s)")
 
-        if args.val_images and args.val_ann and (epoch + 1) % args.eval_every == 0:
+        if args.val_images and args.val_ann and (epoch + 1) % args.eval_every == 0 and pid == 0:
             try:
+                eval_model = model
+                if args.distributed and nprocs > 1:
+                    # Replicated global params are fully addressable on every
+                    # process; a host copy gives process 0 a purely local
+                    # eval (no collectives for the others to deadlock on).
+                    from leanyolo_tpu.models.yolov10.model import YOLOv10 as _Y
+
+                    eval_model = _Y(model.cfg, model.class_names, jax.tree.map(np.asarray, model.params))
                 stats = validate_coco(
-                    model,
+                    eval_model,
                     images_dir=args.val_images,
                     ann_json=args.val_ann,
                     imgsz=args.imgsz,
-                    batch_size=args.batch_size,
+                    batch_size=local_bs,
                     decode="topk",
                     workers=args.workers,
                     predictor=eval_predictor,
@@ -177,12 +229,14 @@ def main() -> None:
             except Exception as e:  # per-epoch eval failures shouldn't kill training
                 print(f"eval failed: {e}")
 
-        save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
-        save_checkpoint(model, str(out_dir / "last.npz"), extra_meta={"epoch": epoch + 1})
-        trainer.save_train_state(str(out_dir / "train_state.npz"))
+        if pid == 0:
+            save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
+            save_checkpoint(model, str(out_dir / "last.npz"), extra_meta={"epoch": epoch + 1})
+            trainer.save_train_state(str(out_dir / "train_state.npz"))
 
-    save_checkpoint(model, str(out_dir / "ckpt.npz"))
-    print(f"saved final checkpoint: {out_dir / 'ckpt.npz'}")
+    if pid == 0:
+        save_checkpoint(model, str(out_dir / "ckpt.npz"))
+        print(f"saved final checkpoint: {out_dir / 'ckpt.npz'}")
 
 
 if __name__ == "__main__":
