@@ -9,8 +9,6 @@ on the MXU. This experiment times both on the decode shapes.
 from __future__ import annotations
 
 import time
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,8 +12,6 @@ Times representative YOLOv10s conv shapes three ways:
 from __future__ import annotations
 
 import time
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,8 +14,6 @@ equal values, i.e. first occurrences win ties).
 from __future__ import annotations
 
 import time
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

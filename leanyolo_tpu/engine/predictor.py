@@ -142,7 +142,8 @@ class Predictor:
     # -- device API ---------------------------------------------------------
 
     def run_batch(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """images: [B, S, S, 3] float raw pixels -> (dets [B, k, 6], num [B])."""
+        """images: [B, S, S, 3] raw pixels (uint8 preferred — 4x fewer h2d bytes,
+        cast on device; float accepted) -> (dets [B, k, 6], num [B])."""
         return self._fn(self.model.params, images)
 
     def run_canvas(self, canvas, new_hw, pads, hw) -> Tuple[jnp.ndarray, jnp.ndarray]:

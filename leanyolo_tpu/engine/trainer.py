@@ -126,6 +126,12 @@ def augment_batch(key, images: jnp.ndarray, gt_boxes: jnp.ndarray, *, p_hflip: f
     the reverse+select passes move 1/2 the bytes (flip(cast(x)) ==
     cast(flip(x)) exactly; integers <= 255 are exact in bf16).
     """
+    if dtype is None and jnp.issubdtype(images.dtype, jnp.integer):
+        raise ValueError(
+            "augment_batch: integer (uint8) images need an explicit float `dtype` — "
+            "the brightness jitter in integer arithmetic would truncate alpha to 0/1 "
+            "and wrap beta"
+        )
     b = images.shape[0]
     w = images.shape[2]
     k1, k2, k3, k4 = jax.random.split(key, 4)

@@ -119,6 +119,12 @@ def _gather_levels(level_arrays: Sequence[jnp.ndarray], idx: jnp.ndarray) -> jnp
     Equivalent to take_along_axis on the level concat, but without ever
     materializing the [B, A_total, C] array (the concat + its layout copies
     cost ~3 ms/step at bs128; three [B, k, C] gathers are negligible).
+
+    Caveat (shared with any dot-based selection): the one-hot dot streams
+    the WHOLE source through the accumulator, so a non-finite value at any
+    anchor (0 * inf = nan) poisons every gathered row, where a gather would
+    only corrupt its own selection. Detection outputs from a model emitting
+    inf/nan activations are garbage either way; no sanitization pass is paid.
     """
     out = None
     off = 0

@@ -80,8 +80,10 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, s)
 
 
-def shard_batch(mesh: Mesh, *arrays, axis: str = DATA_AXIS):
-    """Split host arrays along dim 0 across the mesh.
+def shard_batch(mesh: Mesh, *arrays, axis: Optional[str] = None):
+    """Split host arrays along dim 0 across the mesh (all axes by default,
+    matching batch_sharded — a hybrid mesh must not end up with two
+    different notions of 'batch-sharded').
 
     Batch size must be divisible by the mesh size (fixed-shape pipeline).
     """

@@ -145,6 +145,7 @@ def test_two_process_distributed_train_cli(tmp_path):
     out0, out1 = tmp_path / "out0", tmp_path / "out1"
     argv = [
         "--model", "yolov10n", "--train-images", images_dir, "--train-ann", ann,
+        "--val-images", images_dir, "--val-ann", ann,  # exercises proc-0 local eval
         "--imgsz", "32", "--epochs", "1", "--batch-size", "4", "--max-boxes", "8",
         "--workers", "0", "--distributed",
     ]
@@ -169,5 +170,7 @@ def test_two_process_distributed_train_cli(tmp_path):
     for i, ((out, err), rc) in enumerate(zip(outs, rcs)):
         assert rc == 0, f"proc {i} rc={rc}\nstdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}"
     assert "hybrid data-parallel over (2, 2)" in outs[0][0]
+    assert "mAP50-95=" in outs[0][0]  # proc-0 local eval ran
+    assert "mAP50-95=" not in outs[1][0]  # other processes skip eval
     assert (out0 / "ckpt.npz").exists()
     assert not (out1 / "ckpt.npz").exists()  # non-zero process saves nothing

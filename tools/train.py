@@ -49,7 +49,9 @@ def parse_args() -> argparse.Namespace:
         help="multi-host data parallelism: join a jax.distributed fleet and "
         "train DP over a (dcn, ici) hybrid mesh; --batch-size is the GLOBAL "
         "batch, the COCO image list shards per process, eval/checkpoints "
-        "run on process 0",
+        "run on process 0. The TAL pad is pinned to --max-boxes (identical "
+        "programs across processes) — pass a realistic --max-boxes (e.g. 32 "
+        "for COCO-like data) instead of the 128 ceiling",
     )
     p.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
     p.add_argument("--num-processes", type=int, default=None)
@@ -167,7 +169,21 @@ def main() -> None:
 
         last_ckpt = out_dir / "last.npz"
         state_ckpt = out_dir / "train_state.npz"
-        if not (last_ckpt.exists() and state_ckpt.exists()):
+        have = last_ckpt.exists() and state_ckpt.exists()
+        if args.distributed and nprocs > 1:
+            # Checkpoints are written by process 0 only, so --resume needs a
+            # SHARED --out-dir. Agree on availability across processes BEFORE
+            # anyone exits — a lone SystemExit would leave the others hung at
+            # their first collective.
+            from jax.experimental import multihost_utils
+
+            all_have = bool(multihost_utils.process_allgather(np.asarray(have)).all())
+            if not all_have:
+                raise SystemExit(
+                    f"--resume: {last_ckpt} / {state_ckpt} not visible on every process "
+                    "(process 0 writes them — point --out-dir at a shared filesystem)"
+                )
+        elif not have:
             raise SystemExit(f"--resume: {last_ckpt} / {state_ckpt} not found")
         load_checkpoint_into(model, str(last_ckpt))
         trainer.load_train_state(str(state_ckpt))
@@ -212,9 +228,20 @@ def main() -> None:
                     # Replicated global params are fully addressable on every
                     # process; a host copy gives process 0 a purely local
                     # eval (no collectives for the others to deadlock on).
+                    # The predictor compiles once; later epochs only swap the
+                    # staged params (run_batch reads model.params per call).
+                    from leanyolo_tpu.engine.predictor import Predictor
                     from leanyolo_tpu.models.yolov10.model import YOLOv10 as _Y
 
-                    eval_model = _Y(model.cfg, model.class_names, jax.tree.map(np.asarray, model.params))
+                    host_params = jax.tree.map(np.asarray, model.params)
+                    if eval_predictor is None:
+                        eval_model = _Y(model.cfg, model.class_names, host_params)
+                        eval_predictor = Predictor(
+                            eval_model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False
+                        )
+                    else:
+                        eval_predictor.model.params = jax.device_put(host_params)
+                    eval_model = eval_predictor.model
                 stats = validate_coco(
                     eval_model,
                     images_dir=args.val_images,
