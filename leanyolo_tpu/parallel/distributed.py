@@ -95,3 +95,52 @@ def process_local_slice(n_global: int) -> slice:
         raise ValueError(f"global batch {n_global} not divisible by {procs} processes")
     per = n_global // procs
     return slice(pid * per, (pid + 1) * per)
+
+
+def cli_distributed_setup(coordinator_address=None, num_processes=None, process_id=None):
+    """CLI entry helper: join the fleet (must run before any other jax use)
+    and return (process_count, process_index).
+
+    Runs one trivial cross-process barrier immediately: the collective
+    transport (Gloo on CPU, ICI/DCN cliques on TPU) rendezvouses while the
+    processes are still in lock-step, instead of at the first REAL collective
+    — which can sit minutes of skewed compile time later and trip the
+    transport's ~30 s connect window.
+    """
+    n = init_distributed(coordinator_address, num_processes, process_id)
+    if n > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("leanyolo:cli_distributed_setup")
+    return n, jax.process_index()
+
+
+def warmup_collectives(mesh) -> None:
+    """Establish the mesh's collective clique with a trivial psum.
+
+    The transport context (Gloo on CPU) for a device clique rendezvouses at
+    the FIRST execution that needs it, with a ~30 s connect window. The first
+    real execution sits behind the full train-step compile — minutes of
+    single-core skew between processes — so the rendezvous can expire before
+    the peer arrives. This sub-second program creates the same all-devices
+    clique while the processes are still in lock-step; later executables
+    reuse the established context. No-op on a single process.
+    """
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+
+    from .mesh import replicated
+
+    x = global_batch(mesh, np.zeros((mesh.devices.size, 1), np.float32))
+    jax.jit(jnp.sum, out_shardings=replicated(mesh))(x).block_until_ready()
+
+
+def shard_image_list(images: list, pid: int, nprocs: int) -> list:
+    """Disjoint per-process shard of a dataset image list, trimmed so every
+    process sees the same number of items (unequal epoch lengths would
+    deadlock the collectives at the epoch tail)."""
+    n_even = len(images) // nprocs * nprocs
+    if n_even == 0:
+        raise ValueError(f"{len(images)} images cannot feed {nprocs} processes")
+    return images[:n_even][pid::nprocs]

@@ -174,3 +174,62 @@ def test_two_process_distributed_train_cli(tmp_path):
     assert "mAP50-95=" not in outs[1][0]  # other processes skip eval
     assert (out0 / "ckpt.npz").exists()
     assert not (out1 / "ckpt.npz").exists()  # non-zero process saves nothing
+
+
+TRANSFER_WRAPPER = TRAIN_WRAPPER.replace("tools/train.py", "tools/transfer_learn.py").replace(
+    '["train.py"]', '["transfer_learn.py"]'
+)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_transfer_cli(tmp_path):
+    """tools/transfer_learn.py --distributed: two processes cross the
+    freeze->unfreeze boundary on a 2x2 hybrid mesh; process 0 runs eval and
+    writes best/ckpt, process 1 writes nothing."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from synth_coco import make_synth_coco
+
+    images_dir, ann = make_synth_coco(str(tmp_path / "coco"))
+    wrapper = tmp_path / "transfer_wrapper.py"
+    wrapper.write_text(TRANSFER_WRAPPER.format(repo=str(REPO)), encoding="utf-8")
+
+    import os
+
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "LEANYOLO_COORDINATOR": f"127.0.0.1:{_free_port()}",
+        "LEANYOLO_NUM_PROCS": "2",
+    }
+    out0, out1 = tmp_path / "t0", tmp_path / "t1"
+    argv = [
+        "--model", "yolov10n", "--weights", "none",
+        "--train-images", images_dir, "--train-ann", ann,
+        "--val-images", images_dir, "--val-ann", ann,
+        "--imgsz", "32", "--epochs", "2", "--unfreeze-epoch", "1",
+        "--batch-size", "4", "--max-boxes", "8", "--workers", "0", "--distributed",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(wrapper), *argv, "--process-id", str(i),
+             "--out-dir", str(out0 if i == 0 else out1)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=540) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed transfer smoke timed out (cold compile on 1 core?)")
+
+    rcs = [p.returncode for p in procs]
+    if any(rcs) and _env_flake(outs):
+        pytest.skip("distributed runtime unavailable in this environment (socket/Gloo)")
+    for i, ((out, err), rc) in enumerate(zip(outs, rcs)):
+        assert rc == 0, f"proc {i} rc={rc}\nstdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}"
+    log0 = (out0 / "train.log").read_text() if (out0 / "train.log").exists() else ""
+    assert "UNFREEZE" in log0 or "UNFREEZE" in outs[0][0] + outs[0][1]
+    assert (out0 / "ckpt.npz").exists()
+    assert not (out1 / "ckpt.npz").exists()

@@ -74,9 +74,9 @@ def main() -> None:
     if args.distributed:
         # Must run before anything touches the XLA backend (jax.distributed
         # contract), i.e. before model/dataset construction below.
-        from leanyolo_tpu.parallel.distributed import init_distributed
+        from leanyolo_tpu.parallel.distributed import cli_distributed_setup
 
-        nprocs = init_distributed(args.coordinator, args.num_processes, args.process_id)
+        nprocs, _pid = cli_distributed_setup(args.coordinator, args.num_processes, args.process_id)
 
     import json
 
@@ -112,10 +112,12 @@ def main() -> None:
         # Disjoint per-process shard of the image list, trimmed so every
         # process sees the SAME number of steps per epoch (unequal lengths
         # would deadlock the collectives at the epoch tail).
-        n_even = len(ds.images) // nprocs * nprocs
-        if n_even == 0:
-            raise SystemExit(f"{len(ds.images)} images cannot feed {nprocs} processes")
-        ds.images = ds.images[:n_even][pid::nprocs]
+        from leanyolo_tpu.parallel.distributed import shard_image_list
+
+        try:
+            ds.images = shard_image_list(ds.images, pid, nprocs)
+        except ValueError as e:
+            raise SystemExit(str(e))
         if args.batch_size % nprocs:
             raise SystemExit(f"--batch-size (global) must be divisible by {nprocs} processes")
         local_bs = args.batch_size // nprocs
@@ -137,6 +139,10 @@ def main() -> None:
         mesh = make_hybrid_mesh()
         if args.batch_size % mesh.devices.size:
             raise SystemExit(f"--batch-size must be divisible by {mesh.devices.size} devices")
+        if nprocs > 1:
+            from leanyolo_tpu.parallel.distributed import warmup_collectives
+
+            warmup_collectives(mesh)
         print(f"hybrid data-parallel over {mesh.devices.shape} (dcn, ici) devices")
     elif args.data_parallel:
         from leanyolo_tpu.parallel.mesh import make_mesh

@@ -47,6 +47,16 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--max-boxes", type=int, default=128)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host DP over a (dcn, ici) hybrid mesh (see tools/train.py "
+        "--distributed): --batch-size is GLOBAL, the image list shards per "
+        "process, eval/checkpoints/logs run on process 0; pass a realistic "
+        "--max-boxes (TAL pad pins to it for identical programs)",
+    )
+    p.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="runs/transfer")
     return p.parse_args()
@@ -69,6 +79,14 @@ def setup_logger(out_dir: Path) -> logging.Logger:
 
 def main() -> None:
     args = parse_args()
+
+    nprocs, pid = 1, 0
+    if args.distributed:
+        # Must run before anything touches the XLA backend.
+        from leanyolo_tpu.parallel.distributed import cli_distributed_setup
+
+        nprocs, pid = cli_distributed_setup(args.coordinator, args.num_processes, args.process_id)
+
     import json
 
     import jax
@@ -98,13 +116,37 @@ def main() -> None:
         log.info("head reset to fresh random init")
 
     ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz)
+
+    local_bs = args.batch_size
+    if args.distributed and nprocs > 1:
+        from leanyolo_tpu.parallel.distributed import shard_image_list
+
+        try:
+            ds.images = shard_image_list(ds.images, pid, nprocs)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        if args.batch_size % nprocs:
+            raise SystemExit(f"--batch-size (global) must be divisible by {nprocs} processes")
+        local_bs = args.batch_size // nprocs
+
     loader = DataLoader(
-        ds, batch_size=args.batch_size, shuffle=True, max_boxes=args.max_boxes, workers=args.workers, seed=args.seed
+        ds, batch_size=local_bs, shuffle=True, max_boxes=args.max_boxes, workers=args.workers, seed=args.seed
     )
     steps_per_epoch = max(1, len(loader))
 
     mesh = None
-    if args.data_parallel:
+    if args.distributed:
+        from leanyolo_tpu.parallel.mesh import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh()
+        if args.batch_size % mesh.devices.size:
+            raise SystemExit(f"--batch-size must be divisible by {mesh.devices.size} devices")
+        if nprocs > 1:
+            from leanyolo_tpu.parallel.distributed import warmup_collectives
+
+            warmup_collectives(mesh)
+        log.info(f"hybrid data-parallel over {mesh.devices.shape} (dcn, ici) devices")
+    elif args.data_parallel:
         from leanyolo_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -128,7 +170,9 @@ def main() -> None:
 
     from leanyolo_tpu.engine.predictor import Predictor
 
-    eval_predictor = Predictor(model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False)
+    eval_predictor = None
+    if not (args.distributed and nprocs > 1):
+        eval_predictor = Predictor(model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False)
 
     best_map = -1.0
     for epoch in range(args.epochs):
@@ -150,27 +194,48 @@ def main() -> None:
             f"cls={running['cls']:.4f} reg={running['reg']:.4f} time={dt:.1f}s"
         )
 
-        try:
-            stats = validate_coco(
-                model,
-                images_dir=args.val_images,
-                ann_json=args.val_ann,
-                imgsz=args.imgsz,
-                batch_size=args.batch_size,
-                decode="topk",
-                workers=args.workers,
-                predictor=eval_predictor,
-            )
-            log.info(f"VAL epoch {epoch + 1} mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f}")
-            if stats["map_50_95"] > best_map:
-                best_map = stats["map_50_95"]
-                save_checkpoint(model, str(out_dir / "best.npz"), extra_meta={"epoch": epoch + 1, "map_50_95": best_map})
-        except Exception as e:  # eval failures are non-fatal (reference transfer:511-512)
-            log.info(f"VAL failed: {e}")
+        if pid == 0:
+            try:
+                eval_model = model
+                if args.distributed and nprocs > 1:
+                    # Process-0 local eval on a host copy of the replicated
+                    # params (no collectives for the other processes to
+                    # deadlock on); the predictor compiles once and later
+                    # epochs only swap its staged params.
+                    import numpy as np
 
-        save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
+                    from leanyolo_tpu.models.yolov10.model import YOLOv10 as _Y
 
-    save_checkpoint(model, str(out_dir / "ckpt.npz"))
+                    host_params = jax.tree.map(np.asarray, model.params)
+                    if eval_predictor is None:
+                        eval_model = _Y(model.cfg, model.class_names, host_params)
+                        eval_predictor = Predictor(
+                            eval_model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False
+                        )
+                    else:
+                        eval_predictor.model.params = jax.device_put(host_params)
+                    eval_model = eval_predictor.model
+                stats = validate_coco(
+                    eval_model,
+                    images_dir=args.val_images,
+                    ann_json=args.val_ann,
+                    imgsz=args.imgsz,
+                    batch_size=local_bs,
+                    decode="topk",
+                    workers=args.workers,
+                    predictor=eval_predictor,
+                )
+                log.info(f"VAL epoch {epoch + 1} mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f}")
+                if stats["map_50_95"] > best_map:
+                    best_map = stats["map_50_95"]
+                    save_checkpoint(model, str(out_dir / "best.npz"), extra_meta={"epoch": epoch + 1, "map_50_95": best_map})
+            except Exception as e:  # eval failures are non-fatal (reference transfer:511-512)
+                log.info(f"VAL failed: {e}")
+
+            save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
+
+    if pid == 0:
+        save_checkpoint(model, str(out_dir / "ckpt.npz"))
     log.info(f"RUN END best mAP50-95={best_map:.5f}")
 
 
