@@ -16,7 +16,7 @@ import json
 import os
 import time
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -157,6 +157,7 @@ def validate_coco(
     viz_name_mode: str = "file",
     preprocess: str = "host",
     mesh=None,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, float]:
     """Run COCO bbox validation; returns {'map_50_95', 'map_50', 'map_75', ...}.
 
@@ -172,6 +173,14 @@ def validate_coco(
     if preprocess == "device" and viz_dir:
         raise ValueError("viz requires preprocess='host' (letterboxed images stay on device otherwise)")
     ds = CocoDetection(images_dir, ann_json, img_size=imgsz, max_images=max_images)
+    if shard is not None and shard[1] > 1:
+        # Multi-host validation: each process evaluates a stride-slice of the
+        # image list on its LOCAL devices (no per-step collectives, so shards
+        # may be unequal — NO images are dropped; dropping any would change
+        # the mAP), then the per-process results merge via one allgather
+        # before scoring (see _merge_shards).
+        pid, nprocs = shard
+        ds.images = ds.images[pid::nprocs]
     loader = DataLoader(ds, batch_size=batch_size, shuffle=False, workers=workers, max_boxes=1)
 
     if predictor is None:
@@ -208,6 +217,7 @@ def validate_coco(
             )
             n_images += sum(m is not None for m in metas)
         wall = time.perf_counter() - t0
+        all_results, n_images = _merge_shards(all_results, n_images, shard)
         return _finish(
             ds, all_results, n_images, wall, ann_json, max_images, save_detections,
             measure_speed, predictor,
@@ -233,6 +243,7 @@ def validate_coco(
             )
         n_images += sum(m is not None for m in batch.meta)
     wall = time.perf_counter() - t0
+    all_results, n_images = _merge_shards(all_results, n_images, shard)
     return _finish(
         ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, predictor
     )
@@ -278,6 +289,18 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
                 for i in range(batch_size)
             ]
             yield np.asarray(dets), np.asarray(num), metas
+
+
+def _merge_shards(all_results, n_images, shard):
+    """Merge per-process (results, count) for sharded multi-host validation;
+    every process returns the identical global set."""
+    if shard is not None and shard[1] > 1:
+        from ..parallel.distributed import allgather_obj
+
+        merged = allgather_obj({"r": all_results, "n": n_images})
+        all_results = [d for m in merged for d in m["r"]]
+        n_images = sum(m["n"] for m in merged)
+    return all_results, n_images
 
 
 def _finish(ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, predictor):

@@ -144,3 +144,29 @@ def shard_image_list(images: list, pid: int, nprocs: int) -> list:
     if n_even == 0:
         raise ValueError(f"{len(images)} images cannot feed {nprocs} processes")
     return images[:n_even][pid::nprocs]
+
+
+def allgather_obj(obj):
+    """Exchange one JSON-serializable object per process; every process
+    returns the full list [obj_proc0, obj_proc1, ...].
+
+    Rides the jax runtime (no shared-filesystem assumption): the object is
+    serialized to a uint8 buffer, lengths are allgathered first so buffers
+    can pad to a common shape, then the payloads allgather in one shot.
+    Used to merge per-process detection results for multi-host validation.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    import json as _json
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(_json.dumps(obj).encode("utf-8"), np.uint8)
+    lens = multihost_utils.process_allgather(np.asarray(payload.size, np.int64))
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: payload.size] = payload
+    bufs = np.asarray(multihost_utils.process_allgather(buf))
+    return [
+        _json.loads(bytes(bufs[i, : int(lens[i])]).decode("utf-8"))
+        for i in range(int(lens.shape[0]))
+    ]

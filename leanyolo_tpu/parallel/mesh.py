@@ -24,9 +24,14 @@ DATA_AXIS = "data"
 DCN_AXIS = "dcn"
 
 
-def make_mesh(n_devices: Optional[int] = None, *, axis: str = DATA_AXIS) -> Mesh:
-    """1-D mesh over the first n devices (default: all local devices)."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, *, axis: str = DATA_AXIS, local: bool = False) -> Mesh:
+    """1-D mesh over the first n devices (default: all).
+
+    local=True restricts to THIS process's devices — in a multi-process
+    runtime that yields a mesh whose programs run without cross-process
+    collectives (e.g. per-host local DP inside sharded multi-host eval).
+    """
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         if n_devices > len(devices):
             raise ValueError(f"requested {n_devices} devices, have {len(devices)}")

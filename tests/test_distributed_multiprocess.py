@@ -233,3 +233,64 @@ def test_two_process_distributed_transfer_cli(tmp_path):
     assert "UNFREEZE" in log0 or "UNFREEZE" in outs[0][0] + outs[0][1]
     assert (out0 / "ckpt.npz").exists()
     assert not (out1 / "ckpt.npz").exists()
+
+
+VAL_WRAPPER = TRAIN_WRAPPER.replace("tools/train.py", "tools/val.py").replace(
+    '["train.py"]', '["val.py"]'
+)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_val_cli(tmp_path):
+    """tools/val.py --distributed: each process evaluates its stride-slice
+    locally, detections merge via one allgather, BOTH processes report the
+    same global image count/mAP, and only process 0 writes the CSV row."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from synth_coco import make_synth_coco
+
+    images_dir, ann = make_synth_coco(str(tmp_path / "coco"))
+    wrapper = tmp_path / "val_wrapper.py"
+    wrapper.write_text(VAL_WRAPPER.format(repo=str(REPO)), encoding="utf-8")
+
+    import os
+
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "LEANYOLO_COORDINATOR": f"127.0.0.1:{_free_port()}",
+        "LEANYOLO_NUM_PROCS": "2",
+    }
+    csv0, csv1 = tmp_path / "log0.csv", tmp_path / "log1.csv"
+    argv = [
+        "--model", "yolov10n", "--weights", "none",
+        "--images-dir", images_dir, "--ann-json", ann,
+        "--imgsz", "32", "--batch-size", "2", "--decode", "topk",
+        "--workers", "0", "--distributed",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(wrapper), *argv, "--process-id", str(i),
+             "--log-csv", str(csv0 if i == 0 else csv1)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=540) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed val smoke timed out (cold compile on 1 core?)")
+
+    rcs = [p.returncode for p in procs]
+    if any(rcs) and _env_flake(outs):
+        pytest.skip("distributed runtime unavailable in this environment (socket/Gloo)")
+    for i, ((out, err), rc) in enumerate(zip(outs, rcs)):
+        assert rc == 0, f"proc {i} rc={rc}\nstdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}"
+    # Both processes must report the GLOBAL merged evaluation (4 images).
+    line0 = next(l for l in outs[0][0].splitlines() if l.startswith("mAP50-95="))
+    line1 = next(l for l in outs[1][0].splitlines() if l.startswith("mAP50-95="))
+    assert "images=4" in line0 and "images=4" in line1
+    assert line0.split("throughput")[0] == line1.split("throughput")[0]  # same global mAP
+    assert csv0.exists()
+    assert not csv1.exists()  # CSV is process 0's job

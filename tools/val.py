@@ -52,6 +52,16 @@ def parse_args() -> argparse.Namespace:
         "--data-parallel", type=int, default=0, metavar="N",
         help="shard eval batches over an N-device mesh (0 = single device)",
     )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host validation: each process evaluates its stride-slice "
+        "of the image list on local devices, per-process detections merge "
+        "via one allgather, every process reports the global mAP; CSV/"
+        "detections/viz write on process 0 only",
+    )
+    p.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--log-csv", default="runs/val_log.csv")
     p.add_argument("--notes", default="")
     return p.parse_args()
@@ -77,6 +87,13 @@ def resolve_dataset(args):
 def main() -> None:
     args = parse_args()
 
+    nprocs, pid = 1, 0
+    if args.distributed:
+        # Must run before anything touches the XLA backend.
+        from leanyolo_tpu.parallel.distributed import cli_distributed_setup
+
+        nprocs, pid = cli_distributed_setup(args.coordinator, args.num_processes, args.process_id)
+
     import json
 
     from leanyolo_tpu import get_model
@@ -95,7 +112,9 @@ def main() -> None:
     if args.data_parallel:
         from leanyolo_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.data_parallel)
+        # Under --distributed the DP mesh stays LOCAL to this process (its
+        # own chips): each process's sharded eval slice runs collective-free.
+        mesh = make_mesh(args.data_parallel, local=args.distributed and nprocs > 1)
         if args.batch_size % args.data_parallel:
             raise SystemExit("--batch-size must be divisible by --data-parallel")
 
@@ -113,13 +132,14 @@ def main() -> None:
         dtype=args.dtype,
         workers=args.workers,
         class_wise_nms=args.class_wise_nms,
-        save_detections=args.save_detections,
+        save_detections=args.save_detections if pid == 0 else None,
         measure_speed=args.measure_fps,
-        viz_dir=args.viz_dir,
+        viz_dir=args.viz_dir if pid == 0 else None,
         viz_conf=args.viz_conf,
         viz_name_mode=args.viz_name_mode,
         preprocess=args.preprocess,
         mesh=mesh,
+        shard=(pid, nprocs) if args.distributed and nprocs > 1 else None,
     )
     print(
         f"mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f} "
@@ -128,6 +148,8 @@ def main() -> None:
         + (f" fps={stats['fps']:.1f}" if "fps" in stats else "")
     )
 
+    if pid != 0:
+        return  # CSV logging is process 0's job
     env = collect_env_info(device="tpu")
     append_row(
         Path(args.log_csv),
