@@ -294,3 +294,60 @@ def test_two_process_distributed_val_cli(tmp_path):
     assert line0.split("throughput")[0] == line1.split("throughput")[0]  # same global mAP
     assert csv0.exists()
     assert not csv1.exists()  # CSV is process 0's job
+
+
+@pytest.mark.slow
+def test_two_process_distributed_resume(tmp_path):
+    """--resume under --distributed with a SHARED out-dir: process 0's
+    checkpoints are visible to all, the availability consensus passes, and
+    training continues from epoch 2 on both processes."""
+    sys.path.insert(0, str(REPO / "tests"))
+    from synth_coco import make_synth_coco
+
+    images_dir, ann = make_synth_coco(str(tmp_path / "coco"))
+    wrapper = tmp_path / "train_wrapper.py"
+    wrapper.write_text(TRAIN_WRAPPER.format(repo=str(REPO)), encoding="utf-8")
+
+    import os
+
+    shared = tmp_path / "shared_out"
+    base_argv = [
+        "--model", "yolov10n", "--train-images", images_dir, "--train-ann", ann,
+        "--imgsz", "32", "--batch-size", "4", "--max-boxes", "8",
+        "--workers", "0", "--distributed", "--out-dir", str(shared),
+    ]
+
+    def run_phase(extra):
+        env = {
+            **os.environ,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "LEANYOLO_COORDINATOR": f"127.0.0.1:{_free_port()}",
+            "LEANYOLO_NUM_PROCS": "2",
+        }
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(wrapper), *base_argv, *extra, "--process-id", str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+            )
+            for i in range(2)
+        ]
+        try:
+            return [p.communicate(timeout=540) for p in procs], [p.returncode for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.skip("distributed resume smoke timed out (cold compile on 1 core?)")
+
+    outs, rcs = run_phase(["--epochs", "1"])
+    if any(rcs) and _env_flake(outs):
+        pytest.skip("distributed runtime unavailable in this environment (socket/Gloo)")
+    assert rcs == [0, 0], f"phase A: {rcs}\n{outs[0][1][-1500:]}\n{outs[1][1][-1500:]}"
+    assert (shared / "last.npz").exists() and (shared / "train_state.npz").exists()
+
+    outs, rcs = run_phase(["--epochs", "2", "--resume"])
+    if any(rcs) and _env_flake(outs):
+        pytest.skip("distributed runtime unavailable in this environment (socket/Gloo)")
+    assert rcs == [0, 0], f"phase B: {rcs}\n{outs[0][1][-1500:]}\n{outs[1][1][-1500:]}"
+    for i in range(2):
+        assert "resumed from" in outs[i][0] and "epoch 1" in outs[i][0], outs[i][0][-800:]
+        assert "epoch 2/2" in outs[i][0], outs[i][0][-800:]
