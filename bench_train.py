@@ -32,7 +32,9 @@ def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 12
     best_ips, best_bs = 0.0, 0
     for bs in batch_sizes:
         model = YOLOv10.create(variant, class_names=[f"c{i}" for i in range(80)])
-        cfg = TrainConfig(bf16=True, augment=True, grad_clip=1.0, steps_per_epoch=1000)
+        import os
+        cfg = TrainConfig(bf16=True, augment=True, grad_clip=1.0, steps_per_epoch=1000,
+                          remat=os.environ.get("LEANYOLO_BENCH_REMAT", "none"))
         tr = Trainer(model, cfg)
 
         rng = np.random.RandomState(0)

@@ -50,6 +50,10 @@ class TrainConfig:
     p_hflip: float = 0.5
     p_bc: float = 0.5
     steps_per_epoch: int = 100  # for the per-epoch schedule
+    #: 'none' leaves rematerialization to XLA's scheduler; 'full' wraps the
+    #: model forward in jax.checkpoint (backward recomputes all activations
+    #: instead of storing them — trades one extra forward for HBM pressure).
+    remat: str = "none"
 
 
 def _is_stats_leaf(path: Tuple) -> bool:
@@ -180,20 +184,32 @@ class Trainer:
         tx = self.tx
         dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
-        def loss_fn(params, images, gt_labels, gt_boxes, gt_mask):
+        def fwd(params, images):
+            # BN batch stats ride the return value (not a closure) so the
+            # recorder's tracers stay inside the (possibly checkpointed)
+            # forward scope.
             stats = BNStats()
+            raw = model_apply(params, images, model_cfg, train=True, stats=stats, concat_head=False)
+            return raw, stats.updates
+
+        if cfg.remat == "full":
+            fwd = jax.checkpoint(fwd)
+        elif cfg.remat != "none":
+            raise ValueError(f"unknown remat mode {cfg.remat!r} (use 'none' or 'full')")
+
+        def loss_fn(params, images, gt_labels, gt_boxes, gt_mask):
+            raw, bn_stats = fwd(params, images)
             # Per-level (reg, cls) tuples: the 144-channel per-level concat +
             # global [B, A, 144] concat + f32 upcast of the packed form
             # materialized ~9 ms/step of pure data movement at bs128. The
             # per-tensor f32 upcasts fuse into the head conv epilogues; loss
             # math runs in f32 exactly as before.
-            raw = model_apply(params, images, model_cfg, train=True, stats=stats, concat_head=False)
             raw = {
                 k: [(r.astype(jnp.float32), c.astype(jnp.float32)) for r, c in v]
                 for k, v in raw.items()
             }
             losses = detection_loss_v10(raw, gt_labels, gt_boxes, gt_mask, num_classes=nc)
-            return losses["total"], (losses, stats.updates)
+            return losses["total"], (losses, bn_stats)
 
         def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask, key, bb_scale):
             # Batches arrive uint8 (data/dataset.py): 4x fewer host->device
