@@ -20,7 +20,7 @@ import json
 import time
 
 
-def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), chain: int = 16) -> dict:
+def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), chain: int = 16, approx: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,7 +42,7 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
             p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",),
             normalize=False, concat_head=False,
         )
-        return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300)
+        return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300, approx=approx)
 
     from functools import partial
 
@@ -89,9 +89,10 @@ def main() -> None:
     p.add_argument("--variant", default="yolov10s")
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch-sizes", default="32,128")
+    p.add_argument("--approx", action="store_true", help="approx_max_k decode (headline stays exact)")
     args = p.parse_args()
 
-    r = bench_variant(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")))
+    r = bench_variant(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")), approx=args.approx)
     print(
         json.dumps(
             {

@@ -157,3 +157,21 @@ def test_frozen_backbone_keeps_moments_cold():
     tr.train_step(batch, jax.random.PRNGKey(2))  # epoch 2: unfrozen
     w0_after = np.asarray(tr.model.params["backbone"]["cv0"]["conv"]["w"])
     assert np.abs(w0_after - w0_before).max() > 0
+
+
+def test_augment_batch_rejects_uint8_without_dtype():
+    """Integer batches need an explicit compute dtype: brightness jitter in
+    uint8 arithmetic would truncate alpha to 0/1 and wrap beta."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from leanyolo_tpu.engine.trainer import augment_batch
+
+    imgs = jnp.asarray(np.zeros((2, 8, 8, 3), np.uint8))
+    boxes = jnp.zeros((2, 1, 4), jnp.float32)
+    with pytest.raises(ValueError, match="dtype"):
+        augment_batch(jax.random.PRNGKey(0), imgs, boxes, p_hflip=0.5, p_bc=0.5)
+    out, _ = augment_batch(jax.random.PRNGKey(0), imgs, boxes, p_hflip=0.5, p_bc=0.5, dtype=jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
