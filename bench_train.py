@@ -18,7 +18,7 @@ import json
 import time
 
 
-def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), nboxes: int = 24, steps: int = 16) -> dict:
+def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), nboxes: int = 24, steps: int = 16, remat: str = "none") -> dict:
     import jax
     import numpy as np
 
@@ -32,9 +32,7 @@ def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 12
     best_ips, best_bs = 0.0, 0
     for bs in batch_sizes:
         model = YOLOv10.create(variant, class_names=[f"c{i}" for i in range(80)])
-        import os
-        cfg = TrainConfig(bf16=True, augment=True, grad_clip=1.0, steps_per_epoch=1000,
-                          remat=os.environ.get("LEANYOLO_BENCH_REMAT", "none"))
+        cfg = TrainConfig(bf16=True, augment=True, grad_clip=1.0, steps_per_epoch=1000, remat=remat)
         tr = Trainer(model, cfg)
 
         rng = np.random.RandomState(0)
@@ -86,9 +84,11 @@ def main() -> None:
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch-sizes", default="32,128")
     p.add_argument("--nboxes", type=int, default=24)
+    p.add_argument("--remat", choices=["none", "full"], default="none",
+                   help="jax.checkpoint the forward (measured 15% slower at bs128; see PERF.md)")
     args = p.parse_args()
 
-    r = bench_train(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")), args.nboxes)
+    r = bench_train(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")), args.nboxes, remat=args.remat)
     print(
         json.dumps(
             {

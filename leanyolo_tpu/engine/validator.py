@@ -178,7 +178,7 @@ def validate_coco(
         # image list on its LOCAL devices (no per-step collectives, so shards
         # may be unequal — NO images are dropped; dropping any would change
         # the mAP), then the per-process results merge via one allgather
-        # before scoring (see _merge_shards).
+        # before scoring (see _finish_sharded).
         pid, nprocs = shard
         ds.images = ds.images[pid::nprocs]
     loader = DataLoader(ds, batch_size=batch_size, shuffle=False, workers=workers, max_boxes=1)
@@ -217,10 +217,9 @@ def validate_coco(
             )
             n_images += sum(m is not None for m in metas)
         wall = time.perf_counter() - t0
-        all_results, n_images = _merge_shards(all_results, n_images, shard)
-        return _finish(
+        return _finish_sharded(
             ds, all_results, n_images, wall, ann_json, max_images, save_detections,
-            measure_speed, predictor,
+            measure_speed, predictor, shard,
         )
 
     for batch in loader:
@@ -243,9 +242,8 @@ def validate_coco(
             )
         n_images += sum(m is not None for m in batch.meta)
     wall = time.perf_counter() - t0
-    all_results, n_images = _merge_shards(all_results, n_images, shard)
-    return _finish(
-        ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, predictor
+    return _finish_sharded(
+        ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, predictor, shard
     )
 
 
@@ -291,16 +289,30 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
             yield np.asarray(dets), np.asarray(num), metas
 
 
-def _merge_shards(all_results, n_images, shard):
-    """Merge per-process (results, count) for sharded multi-host validation;
-    every process returns the identical global set."""
-    if shard is not None and shard[1] > 1:
-        from ..parallel.distributed import allgather_obj
+def _finish_sharded(ds, all_results, n_images, wall, ann_json, max_images,
+                    save_detections, measure_speed, predictor, shard):
+    """Sharded multi-host finish: merge per-process detections, score ONCE on
+    process 0 (the numpy evaluator costs minutes at full-COCO scale — running
+    it on every host is pure waste), then share the small stats dict so every
+    process returns the identical global numbers. Cluster wall time is the
+    SLOWEST shard's wall (local wall would overstate distributed throughput).
+    Single-process: plain _finish."""
+    if shard is None or shard[1] <= 1:
+        return _finish(ds, all_results, n_images, wall, ann_json, max_images,
+                       save_detections, measure_speed, predictor)
+    import jax
 
-        merged = allgather_obj({"r": all_results, "n": n_images})
-        all_results = [d for m in merged for d in m["r"]]
-        n_images = sum(m["n"] for m in merged)
-    return all_results, n_images
+    from ..parallel.distributed import allgather_obj
+
+    merged = allgather_obj({"r": all_results, "n": n_images, "w": wall})
+    all_results = [d for m in merged for d in m["r"]]
+    n_images = sum(m["n"] for m in merged)
+    wall = max(m["w"] for m in merged)
+    stats = None
+    if jax.process_index() == 0:
+        stats = _finish(ds, all_results, n_images, wall, ann_json, max_images,
+                        save_detections, measure_speed, predictor)
+    return allgather_obj(stats)[0]
 
 
 def _finish(ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, predictor):

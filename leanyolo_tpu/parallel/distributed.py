@@ -170,3 +170,43 @@ def allgather_obj(obj):
         _json.loads(bytes(bufs[i, : int(lens[i])]).decode("utf-8"))
         for i in range(int(lens.shape[0]))
     ]
+
+
+def add_distributed_args(parser, *, batch_semantics: str) -> None:
+    """The shared --distributed/--coordinator/--num-processes/--process-id
+    CLI flags (kept in one place so the three tools cannot drift).
+
+    batch_semantics: one line describing what --batch-size means under
+    distribution for this tool (global for trainers, per-process for val).
+    """
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host mode: join a jax.distributed fleet; the image list "
+        f"shards per process; {batch_semantics}; eval/checkpoints/CSV/logs "
+        "come from process 0",
+    )
+    parser.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+
+
+def proc0_local_eval(model, predictor, *, imgsz: int, decode: str = "topk", conf_thresh: float = 0.001):
+    """Process-0 eval staging for distributed training loops.
+
+    Replicated global params are fully addressable on every process, so a
+    host copy gives process 0 a purely LOCAL predictor (no collectives for
+    the other processes to deadlock on). The predictor compiles once; later
+    epochs only swap its staged params (run_batch reads model.params per
+    call). Returns (eval_model, predictor) — pass the previous predictor
+    back in on the next epoch.
+    """
+    from ..engine.predictor import Predictor
+    from ..models.yolov10.model import YOLOv10
+
+    host_params = jax.tree.map(lambda x: np.asarray(x), model.params)
+    if predictor is None:
+        eval_model = YOLOv10(model.cfg, model.class_names, host_params)
+        predictor = Predictor(eval_model, imgsz=imgsz, decode=decode, conf_thresh=conf_thresh, donate=False)
+    else:
+        predictor.model.params = jax.device_put(host_params)
+    return predictor.model, predictor

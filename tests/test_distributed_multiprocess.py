@@ -21,10 +21,21 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 # Environment-capacity failures, not product bugs: a sandbox refusing the
-# localhost coordinator socket, or Gloo's 30 s key-value handshake expiring
+# localhost coordinator socket, or the transport's ~30 s rendezvous expiring
 # while the single CPU core is saturated by concurrent XLA compiles (seen
-# when the SQA runner executes this file inside the full pytest tier).
-_ENV_SKIP_PATTERNS = ("Connection refused", "UNAVAILABLE", "DEADLINE_EXCEEDED", "Gloo")
+# when the SQA runner executes this file inside the full pytest tier). The
+# patterns are deliberately INIT-PHASE messages only — a real collective
+# mismatch raises a different error (program/shape diagnostics) and must
+# FAIL, not skip. (A true deadlock that hangs to the subprocess timeout is
+# indistinguishable from a cold-compile stall here and still skips; the
+# single-process hybrid-mesh equality tests in test_parallel.py cover
+# program-mismatch regressions deterministically.)
+_ENV_SKIP_PATTERNS = (
+    "Connection refused",
+    "failed to connect",
+    "Gloo context initialization failed",
+    "GetKeyValue() timed out",
+)
 
 
 def _env_flake(outs) -> bool:

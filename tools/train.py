@@ -44,18 +44,14 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true")
-    p.add_argument(
-        "--distributed", action="store_true",
-        help="multi-host data parallelism: join a jax.distributed fleet and "
-        "train DP over a (dcn, ici) hybrid mesh; --batch-size is the GLOBAL "
-        "batch, the COCO image list shards per process, eval/checkpoints "
-        "run on process 0. The TAL pad is pinned to --max-boxes (identical "
-        "programs across processes) — pass a realistic --max-boxes (e.g. 32 "
-        "for COCO-like data) instead of the 128 ceiling",
+    from leanyolo_tpu.parallel.distributed import add_distributed_args
+
+    add_distributed_args(
+        p,
+        batch_semantics="--batch-size is the GLOBAL batch (divided across "
+        "processes); the TAL pad pins to --max-boxes for identical programs "
+        "— pass a realistic value (e.g. 32 for COCO-like data)",
     )
-    p.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
-    p.add_argument("--num-processes", type=int, default=None)
-    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="runs/train")
     p.add_argument("--eval-every", type=int, default=1)
@@ -76,7 +72,7 @@ def main() -> None:
         # contract), i.e. before model/dataset construction below.
         from leanyolo_tpu.parallel.distributed import cli_distributed_setup
 
-        nprocs, _pid = cli_distributed_setup(args.coordinator, args.num_processes, args.process_id)
+        nprocs, pid = cli_distributed_setup(args.coordinator, args.num_processes, args.process_id)
 
     import json
 
@@ -84,7 +80,6 @@ def main() -> None:
     import numpy as np
 
     if args.distributed:
-        pid = jax.process_index()
         print(f"distributed: process {pid}/{nprocs}, {jax.local_device_count()} local devices")
 
     from leanyolo_tpu import get_model
@@ -231,23 +226,11 @@ def main() -> None:
             try:
                 eval_model = model
                 if args.distributed and nprocs > 1:
-                    # Replicated global params are fully addressable on every
-                    # process; a host copy gives process 0 a purely local
-                    # eval (no collectives for the others to deadlock on).
-                    # The predictor compiles once; later epochs only swap the
-                    # staged params (run_batch reads model.params per call).
-                    from leanyolo_tpu.engine.predictor import Predictor
-                    from leanyolo_tpu.models.yolov10.model import YOLOv10 as _Y
+                    from leanyolo_tpu.parallel.distributed import proc0_local_eval
 
-                    host_params = jax.tree.map(np.asarray, model.params)
-                    if eval_predictor is None:
-                        eval_model = _Y(model.cfg, model.class_names, host_params)
-                        eval_predictor = Predictor(
-                            eval_model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False
-                        )
-                    else:
-                        eval_predictor.model.params = jax.device_put(host_params)
-                    eval_model = eval_predictor.model
+                    eval_model, eval_predictor = proc0_local_eval(
+                        model, eval_predictor, imgsz=args.imgsz
+                    )
                 stats = validate_coco(
                     eval_model,
                     images_dir=args.val_images,

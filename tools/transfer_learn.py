@@ -47,32 +47,33 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--max-boxes", type=int, default=128)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true")
-    p.add_argument(
-        "--distributed", action="store_true",
-        help="multi-host DP over a (dcn, ici) hybrid mesh (see tools/train.py "
-        "--distributed): --batch-size is GLOBAL, the image list shards per "
-        "process, eval/checkpoints/logs run on process 0; pass a realistic "
-        "--max-boxes (TAL pad pins to it for identical programs)",
+    from leanyolo_tpu.parallel.distributed import add_distributed_args
+
+    add_distributed_args(
+        p,
+        batch_semantics="--batch-size is the GLOBAL batch (divided across "
+        "processes); pass a realistic --max-boxes (TAL pad pins to it for "
+        "identical programs)",
     )
-    p.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
-    p.add_argument("--num-processes", type=int, default=None)
-    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="runs/transfer")
     return p.parse_args()
 
 
-def setup_logger(out_dir: Path) -> logging.Logger:
+def setup_logger(out_dir: Path, *, file: bool = True) -> logging.Logger:
+    """file=False keeps stream-only output — non-zero distributed processes
+    must not append to a shared out-dir's train.log concurrently."""
     out_dir.mkdir(parents=True, exist_ok=True)
     logger = logging.getLogger("transfer")
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
-    fh = logging.FileHandler(out_dir / "train.log")
-    sh = logging.StreamHandler()
     fmt = logging.Formatter("%(asctime)s %(message)s")
-    fh.setFormatter(fmt)
+    if file:
+        fh = logging.FileHandler(out_dir / "train.log")
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    sh = logging.StreamHandler()
     sh.setFormatter(fmt)
-    logger.addHandler(fh)
     logger.addHandler(sh)
     return logger
 
@@ -99,7 +100,7 @@ def main() -> None:
     from leanyolo_tpu.models.yolov10.model import head_init
 
     out_dir = Path(args.out_dir)
-    log = setup_logger(out_dir)
+    log = setup_logger(out_dir, file=pid == 0)
     log.info(f"RUN START args={vars(args)}")
 
     with open(args.train_ann, "r", encoding="utf-8") as f:
@@ -198,23 +199,11 @@ def main() -> None:
             try:
                 eval_model = model
                 if args.distributed and nprocs > 1:
-                    # Process-0 local eval on a host copy of the replicated
-                    # params (no collectives for the other processes to
-                    # deadlock on); the predictor compiles once and later
-                    # epochs only swap its staged params.
-                    import numpy as np
+                    from leanyolo_tpu.parallel.distributed import proc0_local_eval
 
-                    from leanyolo_tpu.models.yolov10.model import YOLOv10 as _Y
-
-                    host_params = jax.tree.map(np.asarray, model.params)
-                    if eval_predictor is None:
-                        eval_model = _Y(model.cfg, model.class_names, host_params)
-                        eval_predictor = Predictor(
-                            eval_model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False
-                        )
-                    else:
-                        eval_predictor.model.params = jax.device_put(host_params)
-                    eval_model = eval_predictor.model
+                    eval_model, eval_predictor = proc0_local_eval(
+                        model, eval_predictor, imgsz=args.imgsz
+                    )
                 stats = validate_coco(
                     eval_model,
                     images_dir=args.val_images,
@@ -236,7 +225,7 @@ def main() -> None:
 
     if pid == 0:
         save_checkpoint(model, str(out_dir / "ckpt.npz"))
-    log.info(f"RUN END best mAP50-95={best_map:.5f}")
+        log.info(f"RUN END best mAP50-95={best_map:.5f}")
 
 
 if __name__ == "__main__":

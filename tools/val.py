@@ -52,16 +52,15 @@ def parse_args() -> argparse.Namespace:
         "--data-parallel", type=int, default=0, metavar="N",
         help="shard eval batches over an N-device mesh (0 = single device)",
     )
-    p.add_argument(
-        "--distributed", action="store_true",
-        help="multi-host validation: each process evaluates its stride-slice "
-        "of the image list on local devices, per-process detections merge "
-        "via one allgather, every process reports the global mAP; CSV/"
-        "detections/viz write on process 0 only",
+    from leanyolo_tpu.parallel.distributed import add_distributed_args
+
+    add_distributed_args(
+        p,
+        batch_semantics="NOTE: --batch-size is PER-PROCESS here (sharded "
+        "eval has no cross-host step), unlike the trainer CLIs where it is "
+        "the global batch; detections merge via one allgather and every "
+        "process reports the global mAP",
     )
-    p.add_argument("--coordinator", default=None, help="host:port of process 0 (or LEANYOLO_COORDINATOR)")
-    p.add_argument("--num-processes", type=int, default=None)
-    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--log-csv", default="runs/val_log.csv")
     p.add_argument("--notes", default="")
     return p.parse_args()
