@@ -96,8 +96,10 @@ def measure_fps(predictor: Predictor, *, batch_size: int = 1, warmup: int = 1, i
         return jnp.sum(jax.lax.fori_loop(0, n, body, images)[0, 0, 0])
 
     shape = (batch_size, predictor.imgsz, predictor.imgsz, 3)
-    x0 = jnp.zeros(shape, jnp.float32)
-    x1 = jnp.full(shape, 114.0, jnp.float32)
+    # uint8 pixels, matching what the data pipeline actually feeds (an f32
+    # probe would measure a 4x-larger input read than production performs).
+    x0 = jnp.zeros(shape, jnp.uint8)
+    x1 = jnp.full(shape, 114, jnp.uint8)
     for _ in range(max(1, warmup)):
         float(chained(params, x0, iters))  # compile + warm at the same static n
     t0 = time.perf_counter()
