@@ -75,6 +75,10 @@ class Predictor:
         # weights; skipping the identity (x-0)/1 saves a full-res pass.
         self._normalize = not fuse
 
+        # Spatial-partitioning hook: set below when the mesh has a `space`
+        # axis (sharding re-anchors at the model's stage boundaries).
+        self._constrain = None
+
         def _fn(params, images):
             x = images.astype(self.dtype)
             branch = ("one2one",) if decode == "topk" else ("one2many",)
@@ -85,11 +89,15 @@ class Predictor:
                 raw = model_apply(
                     params, x, cfg, train=False, branches=branch,
                     normalize=self._normalize, concat_head=False,
+                    constrain=self._constrain,
                 )
                 dets = decode_topk(raw[branch[0]], num_classes=nc, strides=cfg.strides, max_det=self.max_det)
                 num = jnp.sum(dets[..., 4] > self.conf_thresh, axis=-1).astype(jnp.int32)
                 return dets.astype(jnp.float32), num
-            raw = model_apply(params, x, cfg, train=False, branches=branch, normalize=self._normalize)
+            raw = model_apply(
+                params, x, cfg, train=False, branches=branch,
+                normalize=self._normalize, constrain=self._constrain,
+            )
             feats = [f.astype(jnp.float32) for f in raw[branch[0]]]
             return decode_nms(
                 feats,
@@ -125,12 +133,36 @@ class Predictor:
             self.model.params = shard_params(mesh, self.model.params)
         donate_kw = {"donate_argnums": (1,) if donate else ()}
         if mesh is not None:
-            from ..parallel.mesh import batch_sharded, replicated
+            from ..parallel.mesh import (
+                SPACE_AXIS,
+                batch_sharded,
+                image_sharded,
+                replicated,
+                rows_sharded,
+            )
 
-            rep, shd = replicated(mesh), batch_sharded(mesh)
-            self._fn = jax.jit(_fn, in_shardings=(rep, shd), out_shardings=(shd, shd), **donate_kw)
+            rep = replicated(mesh)
+            if SPACE_AXIS in mesh.axis_names:
+                # Spatially-partitioned inference: images shard on H over
+                # the `space` axis (batch over the data axes); GSPMD
+                # partitions every conv spatially with ICI halo exchanges.
+                # Decode outputs replicate over `space`. Latency mode: a
+                # (1, n) mesh runs ONE image across n chips.
+                img_s, out_s = image_sharded(mesh), rows_sharded(mesh)
+                if mesh.shape[SPACE_AXIS] > 1:
+                    # On a size-1 space axis the constraints are semantic
+                    # no-ops; skip them (the experimental axon plugin is
+                    # pathologically slow building constraint-annotated
+                    # full-model programs).
+                    self._constrain = lambda t: jax.lax.with_sharding_constraint(t, img_s)
+            else:
+                img_s = out_s = batch_sharded(mesh)
+            self._fn = jax.jit(_fn, in_shardings=(rep, img_s), out_shardings=(out_s, out_s), **donate_kw)
             self._fn_canvas = jax.jit(
-                _fn_canvas, in_shardings=(rep, shd, shd, shd, shd), out_shardings=(shd, shd), **donate_kw
+                _fn_canvas,
+                in_shardings=(rep, img_s, out_s, out_s, out_s),
+                out_shardings=(out_s, out_s),
+                **donate_kw,
             )
         else:
             self._fn = jax.jit(_fn, **donate_kw)

@@ -295,6 +295,7 @@ def model_apply(
     branches: Tuple[str, ...] = ("one2many", "one2one"),
     normalize: bool = True,
     concat_head: bool = True,
+    constrain=None,
 ) -> Dict[str, List[jnp.ndarray]]:
     """Normalize -> backbone -> neck -> head; returns raw branch pyramids.
 
@@ -310,6 +311,11 @@ def model_apply(
            full-resolution elementwise pass plus a layout copy.
         concat_head: False returns per-level (reg, cls) tuples (see
            head_apply), skipping the 4*reg_max+nc concat write.
+        constrain: optional fn(NHWC tensor) -> tensor applied at the
+           backbone/neck stage boundaries. Used for sharding annotations
+           (e.g. lax.with_sharding_constraint keeping H split over a
+           `space` mesh axis for spatially-partitioned inference) — GSPMD
+           propagates the layout through the stages between anchors.
 
     Returns:
         {branch: [P3, P4, P5]} NHWC maps with 4*reg_max+nc channels
@@ -320,7 +326,11 @@ def model_apply(
         div = params["input_divide"].astype(x.dtype)
         x = (x - sub) / div
     c3, c4, c5 = backbone_apply(params["backbone"], x, cfg, train=train, stats=stats, precision=precision)
+    if constrain is not None:
+        c3, c4, c5 = constrain(c3), constrain(c4), constrain(c5)
     p3, p4, p5 = neck_apply(params["neck"], c3, c4, c5, cfg, train=train, stats=stats, precision=precision)
+    if constrain is not None:
+        p3, p4, p5 = constrain(p3), constrain(p4), constrain(p5)
     out = {}
     for b in branches:
         out[b] = head_apply(

@@ -23,6 +23,8 @@ DATA_AXIS = "data"
 
 DCN_AXIS = "dcn"
 
+SPACE_AXIS = "space"
+
 
 def make_mesh(n_devices: Optional[int] = None, *, axis: str = DATA_AXIS, local: bool = False) -> Mesh:
     """1-D mesh over the first n devices (default: all).
@@ -67,6 +69,47 @@ def make_hybrid_mesh(
         raise ValueError(f"{len(devices)} devices not divisible into {n_hosts} hosts")
     grid = np.asarray(devices).reshape(n_hosts, len(devices) // n_hosts)
     return Mesh(grid, (dcn_axis, ici_axis))
+
+
+def make_sp_mesh(n_data: int, n_space: int) -> Mesh:
+    """2-D (data, space) mesh for latency-oriented inference.
+
+    DP alone cannot reduce the latency of ONE image; sharding the image's
+    height across chips can. Activations live as NHWC with H split over the
+    `space` axis — XLA GSPMD partitions every convolution spatially and
+    inserts the halo exchanges (one row of overlap per k3 conv) over ICI
+    automatically. Batch still shards over `data`, so a (data, space) mesh
+    serves `n_data` concurrent streams at `n_space`-chip latency each.
+
+    The reference (single-GPU, SURVEY.md §2.3) has no counterpart; this is
+    mesh/GSPMD-native capability.
+    """
+    devices = jax.devices()
+    need = n_data * n_space
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
+def data_axis_names(mesh: Mesh) -> tuple:
+    """Mesh axes that carry the batch dimension (everything but `space`)."""
+    return tuple(a for a in mesh.axis_names if a != SPACE_AXIS)
+
+
+def image_sharded(mesh: Mesh) -> NamedSharding:
+    """NHWC image batch: B over the data axes, H over `space` if present."""
+    d = data_axis_names(mesh)
+    space = SPACE_AXIS if SPACE_AXIS in mesh.axis_names else None
+    return NamedSharding(mesh, P(d if d else None, space))
+
+
+def rows_sharded(mesh: Mesh) -> NamedSharding:
+    """Per-image row tensors (e.g. detections [B, k, 6]): B over the data
+    axes, replicated over `space` — decode results are identical on every
+    space shard."""
+    d = data_axis_names(mesh)
+    return NamedSharding(mesh, P(d if d else None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

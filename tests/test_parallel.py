@@ -168,6 +168,51 @@ def test_hybrid_mesh_predictor_matches_single_device():
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(nm))
 
 
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_spatial_partition_predictor_matches_single_device():
+    """(2 data, 4 space) mesh: images shard on H over `space`, so GSPMD
+    partitions every conv spatially (halo exchanges over ICI on hardware).
+    Detections must match the single-device forward."""
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import make_sp_mesh
+
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    p1 = Predictor(model, imgsz=64, decode="topk", donate=False)
+    d1, n1 = p1.run_batch(jnp.asarray(imgs))
+    mesh = make_sp_mesh(2, 4)
+    assert mesh.devices.shape == (2, 4) and mesh.axis_names == ("data", "space")
+    sp = Predictor(model, imgsz=64, decode="topk", donate=False, mesh=mesh)
+    ds, ns = sp.run_batch(jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(ds), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(ns))
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_spatial_partition_latency_mesh_single_image():
+    """Pure latency mode: a (1, 8) mesh runs ONE image spread across all
+    8 chips — the config DP cannot express (DP needs B >= n_devices)."""
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import make_sp_mesh
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (1, 64, 64, 3)).astype(np.uint8)
+    model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    p1 = Predictor(model, imgsz=64, decode="topk", donate=False)
+    d1, n1 = p1.run_batch(jnp.asarray(img))
+    sp = Predictor(model, imgsz=64, decode="topk", donate=False, mesh=make_sp_mesh(1, 8))
+    ds, ns = sp.run_batch(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(ds), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(ns))
+
+
 def test_distributed_single_process_degrades():
     """init_distributed with no coordinator is a local no-op; global_batch
     falls back to a sharded device_put; process_local_slice covers the batch."""

@@ -34,6 +34,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--dtype", choices=["float32", "bf16"], default="float32")
     p.add_argument("--save-dir", default="runs/infer")
     p.add_argument("--class-names", default=None, help="comma-separated; default COCO-80")
+    p.add_argument(
+        "--spatial-parallel", type=int, default=0, metavar="S",
+        help="latency mode: run EACH image across S chips by sharding its "
+        "height over a (1, S) mesh (GSPMD conv halo exchange over ICI)",
+    )
     return p.parse_args()
 
 
@@ -59,6 +64,11 @@ def main() -> None:
     class_names = args.class_names.split(",") if args.class_names else coco80_class_names()
     weights = None if args.weights in ("none", "None", "") else args.weights
     model = get_model(args.model, weights=weights, class_names=class_names)
+    mesh = None
+    if args.spatial_parallel:
+        from leanyolo_tpu.parallel.mesh import make_sp_mesh
+
+        mesh = make_sp_mesh(1, args.spatial_parallel)
     predictor = Predictor(
         model,
         imgsz=args.imgsz,
@@ -68,6 +78,7 @@ def main() -> None:
         max_det=args.max_det,
         dtype=args.dtype,
         donate=False,
+        mesh=mesh,
     )
 
     paths = list_images(args.source)

@@ -52,6 +52,12 @@ def parse_args() -> argparse.Namespace:
         "--data-parallel", type=int, default=0, metavar="N",
         help="shard eval batches over an N-device mesh (0 = single device)",
     )
+    p.add_argument(
+        "--spatial-parallel", type=int, default=0, metavar="S",
+        help="shard image HEIGHT over S devices (GSPMD conv halo exchange); "
+        "composes with --data-parallel into a (data, space) mesh — "
+        "total chips = N*S (latency mode: --data-parallel 1 --spatial-parallel S)",
+    )
     from leanyolo_tpu.parallel.distributed import add_distributed_args
 
     add_distributed_args(
@@ -108,7 +114,16 @@ def main() -> None:
     model = get_model(args.model, weights=weights, class_names=class_names)
 
     mesh = None
-    if args.data_parallel:
+    if args.spatial_parallel:
+        from leanyolo_tpu.parallel.mesh import make_sp_mesh
+
+        if args.distributed and nprocs > 1:
+            raise SystemExit("--spatial-parallel does not compose with --distributed")
+        n_data = args.data_parallel or 1
+        mesh = make_sp_mesh(n_data, args.spatial_parallel)
+        if args.batch_size % n_data:
+            raise SystemExit("--batch-size must be divisible by --data-parallel")
+    elif args.data_parallel:
         from leanyolo_tpu.parallel.mesh import make_mesh
 
         # Under --distributed the DP mesh stays LOCAL to this process (its
