@@ -125,31 +125,38 @@ class Predictor:
         # Stage params on device once: folded params are host numpy arrays,
         # and re-feeding them per call re-uploads ~100 MB through the (slow,
         # tunneled) host link every batch.
+        donate_kw = {"donate_argnums": (1,) if donate else ()}
         if mesh is None:
             self.model.params = jax.device_put(self.model.params)
         else:
-            from ..parallel.mesh import shard_params
-
-            self.model.params = shard_params(mesh, self.model.params)
-        donate_kw = {"donate_argnums": (1,) if donate else ()}
-        if mesh is not None:
             from ..parallel.mesh import (
+                MODEL_AXIS,
                 SPACE_AXIS,
                 batch_sharded,
                 image_sharded,
                 replicated,
                 rows_sharded,
+                shard_params,
+                tp_shard_params,
             )
 
-            rep = replicated(mesh)
-            if SPACE_AXIS in mesh.axis_names:
-                # Spatially-partitioned inference: images shard on H over
-                # the `space` axis (batch over the data axes); GSPMD
-                # partitions every conv spatially with ICI halo exchanges.
-                # Decode outputs replicate over `space`. Latency mode: a
-                # (1, n) mesh runs ONE image across n chips.
+            if MODEL_AXIS in mesh.axis_names:
+                # Tensor (channel) parallelism: every layer's filters split
+                # on output channels over `model`; each chip applies its
+                # slice and GSPMD threads the channel sharding through the
+                # network (psum on input-channel contractions).
+                self.model.params, param_s = tp_shard_params(mesh, self.model.params)
+            else:
+                param_s = replicated(mesh)
+                self.model.params = shard_params(mesh, self.model.params)
+            if SPACE_AXIS in mesh.axis_names or MODEL_AXIS in mesh.axis_names:
+                # Batch shards over the data axes only; H shards over
+                # `space` when present. Spatially-partitioned inference: the
+                # `space` axis splits every conv's rows across chips with
+                # GSPMD halo exchanges. Latency mode: a (1, n) mesh runs ONE
+                # image across n chips.
                 img_s, out_s = image_sharded(mesh), rows_sharded(mesh)
-                if mesh.shape[SPACE_AXIS] > 1:
+                if SPACE_AXIS in mesh.axis_names and mesh.shape[SPACE_AXIS] > 1:
                     # On a size-1 space axis the constraints are semantic
                     # no-ops; skip them (the experimental axon plugin is
                     # pathologically slow building constraint-annotated
@@ -157,14 +164,14 @@ class Predictor:
                     self._constrain = lambda t: jax.lax.with_sharding_constraint(t, img_s)
             else:
                 img_s = out_s = batch_sharded(mesh)
-            self._fn = jax.jit(_fn, in_shardings=(rep, img_s), out_shardings=(out_s, out_s), **donate_kw)
+            self._fn = jax.jit(_fn, in_shardings=(param_s, img_s), out_shardings=(out_s, out_s), **donate_kw)
             self._fn_canvas = jax.jit(
                 _fn_canvas,
-                in_shardings=(rep, img_s, out_s, out_s, out_s),
+                in_shardings=(param_s, img_s, out_s, out_s, out_s),
                 out_shardings=(out_s, out_s),
                 **donate_kw,
             )
-        else:
+        if mesh is None:
             self._fn = jax.jit(_fn, **donate_kw)
             # Device-side preprocessing: letterbox warp fused into the same
             # XLA program as the forward (north star: preprocess rides HBM

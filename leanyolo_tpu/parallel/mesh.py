@@ -25,6 +25,8 @@ DCN_AXIS = "dcn"
 
 SPACE_AXIS = "space"
 
+MODEL_AXIS = "model"
+
 
 def make_mesh(n_devices: Optional[int] = None, *, axis: str = DATA_AXIS, local: bool = False) -> Mesh:
     """1-D mesh over the first n devices (default: all).
@@ -92,9 +94,53 @@ def make_sp_mesh(n_data: int, n_space: int) -> Mesh:
     return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
 
 
+def make_tp_mesh(n_data: int, n_model: int) -> Mesh:
+    """2-D (data, model) mesh for tensor (channel) parallelism.
+
+    Conv kernels shard on their OUTPUT-channel dim over `model`
+    (tp_shard_params): each chip holds and applies a slice of every layer's
+    filters, so the large variants' weights and activations split across
+    chips. GSPMD propagates the channel sharding layer to layer — a conv
+    whose input channels are sharded contracts locally and psums over
+    `model`; depthwise convs stay communication-free. Composes with `data`
+    for batch sharding.
+    """
+    devices = jax.devices()
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def tp_shard_params(mesh: Mesh, params: Any):
+    """Place a parameter pytree with output-channel sharding over `model`.
+
+    Rank-4 HWIO kernels with O divisible by the axis shard as
+    P(None, None, None, 'model'); rank-1 per-channel vectors (BN
+    scale/bias/mean/var, biases) with divisible C shard as P('model');
+    everything else replicates. Returns (placed_params, sharding_pytree) —
+    the sharding tree doubles as the jit in_shardings entry.
+    """
+    n = mesh.shape[MODEL_AXIS]
+
+    def leaf_sharding(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) == 4 and shape[-1] % n == 0 and shape[-1] >= n:
+            return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+        if len(shape) == 1 and shape[0] % n == 0 and shape[0] >= n:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    shardings = jax.tree.map(leaf_sharding, params)
+    placed = jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
+    return placed, shardings
+
+
 def data_axis_names(mesh: Mesh) -> tuple:
-    """Mesh axes that carry the batch dimension (everything but `space`)."""
-    return tuple(a for a in mesh.axis_names if a != SPACE_AXIS)
+    """Mesh axes that carry the batch dimension (everything but `space` and
+    `model`)."""
+    return tuple(a for a in mesh.axis_names if a not in (SPACE_AXIS, MODEL_AXIS))
 
 
 def image_sharded(mesh: Mesh) -> NamedSharding:

@@ -213,6 +213,38 @@ def test_spatial_partition_latency_mesh_single_image():
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(ns))
 
 
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_predictor_matches_single_device():
+    """(2 data, 4 model) mesh: conv kernels shard on output channels over
+    `model` (each chip applies a filter slice; GSPMD threads the channel
+    sharding through the net). Detections must match single-device."""
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import MODEL_AXIS, make_tp_mesh
+
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    p1 = Predictor(model, imgsz=64, decode="topk", donate=False)
+    d1, n1 = p1.run_batch(jnp.asarray(imgs))
+    mesh = make_tp_mesh(2, 4)
+    assert mesh.axis_names == ("data", "model")
+    tp = Predictor(model, imgsz=64, decode="topk", donate=False, mesh=mesh)
+    dt, nt = tp.run_batch(jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(dt), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(nt))
+    # at least one parameter leaf must actually be sharded over `model`
+    import jax
+
+    sharded = [
+        x for x in jax.tree.leaves(tp.model.params)
+        if hasattr(x, "sharding") and MODEL_AXIS in getattr(x.sharding, "spec", ())
+    ]
+    assert sharded, "no parameter ended up model-sharded"
+
+
 def test_distributed_single_process_degrades():
     """init_distributed with no coordinator is a local no-op; global_batch
     falls back to a sharded device_put; process_local_slice covers the batch."""

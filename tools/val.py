@@ -58,6 +58,11 @@ def parse_args() -> argparse.Namespace:
         "composes with --data-parallel into a (data, space) mesh — "
         "total chips = N*S (latency mode: --data-parallel 1 --spatial-parallel S)",
     )
+    p.add_argument(
+        "--tensor-parallel", type=int, default=0, metavar="M",
+        help="shard conv filters (output channels) over M devices; composes "
+        "with --data-parallel into a (data, model) mesh — total chips = N*M",
+    )
     from leanyolo_tpu.parallel.distributed import add_distributed_args
 
     add_distributed_args(
@@ -114,13 +119,19 @@ def main() -> None:
     model = get_model(args.model, weights=weights, class_names=class_names)
 
     mesh = None
-    if args.spatial_parallel:
-        from leanyolo_tpu.parallel.mesh import make_sp_mesh
+    if args.spatial_parallel and args.tensor_parallel:
+        raise SystemExit("--spatial-parallel and --tensor-parallel are mutually exclusive")
+    if args.spatial_parallel or args.tensor_parallel:
+        from leanyolo_tpu.parallel.mesh import make_sp_mesh, make_tp_mesh
 
         if args.distributed and nprocs > 1:
-            raise SystemExit("--spatial-parallel does not compose with --distributed")
+            raise SystemExit("--spatial/tensor-parallel do not compose with --distributed")
         n_data = args.data_parallel or 1
-        mesh = make_sp_mesh(n_data, args.spatial_parallel)
+        mesh = (
+            make_sp_mesh(n_data, args.spatial_parallel)
+            if args.spatial_parallel
+            else make_tp_mesh(n_data, args.tensor_parallel)
+        )
         if args.batch_size % n_data:
             raise SystemExit("--batch-size must be divisible by --data-parallel")
     elif args.data_parallel:
