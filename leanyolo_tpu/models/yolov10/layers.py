@@ -158,11 +158,19 @@ def _bn_act(p: Params, y: jnp.ndarray, *, act: bool, train=False, stats=None, sc
     if "bn" in p:
         bn = p["bn"]
         if train:
+            # One-pass batch stats: sum and sum-of-squares reduce in a
+            # single fused read of the conv output (jnp.var's
+            # E[(x-mean)^2] needs a second full pass after the mean — at
+            # bs128 the two-pass form costs ~22 ms/step across the net,
+            # profile_step families: convert_reduce_fusion). f32
+            # accumulation; clamp guards the E[x^2]-E[x]^2 cancellation.
             xf = y.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.var(xf, axis=(0, 1, 2))
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            s1 = jnp.sum(xf, axis=(0, 1, 2))
+            s2 = jnp.sum(xf * xf, axis=(0, 1, 2))
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if stats is not None:
-                n = xf.shape[0] * xf.shape[1] * xf.shape[2]
                 unbiased = var * (n / max(n - 1, 1))
                 stats.record(scope, mean, unbiased)
             mul = jax.lax.rsqrt(var + BN_EPS) * bn["scale"]

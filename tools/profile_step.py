@@ -70,7 +70,10 @@ def main() -> None:
         from leanyolo_tpu.data.dataset import Batch
         from leanyolo_tpu.engine.trainer import Trainer, TrainConfig
 
-        cfg = TrainConfig(epochs=1, steps_per_epoch=1, augment=True, grad_clip=1.0)
+        cfg = TrainConfig(
+            epochs=1, steps_per_epoch=1, augment=True, grad_clip=1.0,
+            bf16=args.dtype in ("bf16", "bfloat16"),
+        )
         trainer = Trainer(model, cfg)
         b, n = args.batch_size, args.max_boxes
         batch = Batch(
