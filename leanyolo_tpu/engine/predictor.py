@@ -126,8 +126,14 @@ class Predictor:
         # and re-feeding them per call re-uploads ~100 MB through the (slow,
         # tunneled) host link every batch.
         donate_kw = {"donate_argnums": (1,) if donate else ()}
+        # The staged copy is private (self._params): resharding or
+        # device_put-ing model.params in place would silently change the
+        # placement seen by every OTHER Predictor/Trainer sharing the model
+        # object (e.g. a TP predictor would leave the params model-sharded
+        # under a DP predictor jitted with replicated in_shardings).
+        self._param_sharding = None
         if mesh is None:
-            self.model.params = jax.device_put(self.model.params)
+            self._params = jax.device_put(self.model.params)
         else:
             from ..parallel.mesh import (
                 MODEL_AXIS,
@@ -145,10 +151,11 @@ class Predictor:
                 # on output channels over `model`; each chip applies its
                 # slice and GSPMD threads the channel sharding through the
                 # network (psum on input-channel contractions).
-                self.model.params, param_s = tp_shard_params(mesh, self.model.params)
+                self._params, param_s = tp_shard_params(mesh, self.model.params)
             else:
                 param_s = replicated(mesh)
-                self.model.params = shard_params(mesh, self.model.params)
+                self._params = shard_params(mesh, self.model.params)
+            self._param_sharding = param_s
             if SPACE_AXIS in mesh.axis_names or MODEL_AXIS in mesh.axis_names:
                 # Batch shards over the data axes only; H shards over
                 # `space` when present. Spatially-partitioned inference: the
@@ -180,10 +187,24 @@ class Predictor:
 
     # -- device API ---------------------------------------------------------
 
+    @property
+    def params(self):
+        """This predictor's device-staged (and mesh-sharded) parameters."""
+        return self._params
+
+    def update_params(self, params) -> None:
+        """Refresh weights, keeping the compiled program: stages `params` on
+        device with this predictor's sharding (per-epoch eval, distributed
+        weight refresh). The caller's pytree is not mutated."""
+        if self._param_sharding is None:
+            self._params = jax.device_put(params)
+        else:
+            self._params = jax.device_put(params, self._param_sharding)
+
     def run_batch(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images: [B, S, S, 3] raw pixels (uint8 preferred — 4x fewer h2d bytes,
         cast on device; float accepted) -> (dets [B, k, 6], num [B])."""
-        return self._fn(self.model.params, images)
+        return self._fn(self._params, images)
 
     def run_canvas(self, canvas, new_hw, pads, hw) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-preprocess path: unletterboxed images on a fixed canvas.
@@ -191,7 +212,7 @@ class Predictor:
         canvas [B, Hc, Wc, 3] with image i pasted at the top-left; geometry
         arrays as produced by `canvas_batch`. Letterbox happens on device.
         """
-        return self._fn_canvas(self.model.params, jnp.asarray(canvas), new_hw, pads, hw)
+        return self._fn_canvas(self._params, jnp.asarray(canvas), new_hw, pads, hw)
 
     # -- host convenience ---------------------------------------------------
 

@@ -83,7 +83,7 @@ def measure_fps(predictor: Predictor, *, batch_size: int = 1, warmup: int = 1, i
     import numpy as np
 
     fn = predictor._fn_raw
-    params = predictor.model.params
+    params = predictor.params
 
     @partial(jax.jit, static_argnames=("n",))
     def chained(p, images, n):
@@ -203,7 +203,7 @@ def validate_coco(
 
         # Refresh weights but keep the compiled program; stage on device so
         # per-batch calls don't re-upload host arrays.
-        predictor.model.params = jax.device_put(model.params)
+        predictor.update_params(model.params)
 
     import jax.numpy as jnp
 

@@ -208,5 +208,9 @@ def proc0_local_eval(model, predictor, *, imgsz: int, decode: str = "topk", conf
         eval_model = YOLOv10(model.cfg, model.class_names, host_params)
         predictor = Predictor(eval_model, imgsz=imgsz, decode=decode, conf_thresh=conf_thresh, donate=False)
     else:
-        predictor.model.params = jax.device_put(host_params)
+        # Advance BOTH the staged copy and the private eval model's params:
+        # validate_coco re-stages from eval_model.params when handed an
+        # existing predictor, so a stale eval_model would win otherwise.
+        predictor.model.params = host_params
+        predictor.update_params(host_params)
     return predictor.model, predictor

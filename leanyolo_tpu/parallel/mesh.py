@@ -73,6 +73,15 @@ def make_hybrid_mesh(
     return Mesh(grid, (dcn_axis, ici_axis))
 
 
+def _make_2d_mesh(n_data: int, n_second: int, second_axis: str) -> Mesh:
+    devices = jax.devices()
+    need = n_data * n_second
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_second)
+    return Mesh(grid, (DATA_AXIS, second_axis))
+
+
 def make_sp_mesh(n_data: int, n_space: int) -> Mesh:
     """2-D (data, space) mesh for latency-oriented inference.
 
@@ -86,12 +95,7 @@ def make_sp_mesh(n_data: int, n_space: int) -> Mesh:
     The reference (single-GPU, SURVEY.md §2.3) has no counterpart; this is
     mesh/GSPMD-native capability.
     """
-    devices = jax.devices()
-    need = n_data * n_space
-    if need > len(devices):
-        raise ValueError(f"requested {need} devices, have {len(devices)}")
-    grid = np.asarray(devices[:need]).reshape(n_data, n_space)
-    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+    return _make_2d_mesh(n_data, n_space, SPACE_AXIS)
 
 
 def make_tp_mesh(n_data: int, n_model: int) -> Mesh:
@@ -105,12 +109,7 @@ def make_tp_mesh(n_data: int, n_model: int) -> Mesh:
     `model`; depthwise convs stay communication-free. Composes with `data`
     for batch sharding.
     """
-    devices = jax.devices()
-    need = n_data * n_model
-    if need > len(devices):
-        raise ValueError(f"requested {need} devices, have {len(devices)}")
-    grid = np.asarray(devices[:need]).reshape(n_data, n_model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    return _make_2d_mesh(n_data, n_model, MODEL_AXIS)
 
 
 def tp_shard_params(mesh: Mesh, params: Any):
@@ -133,7 +132,9 @@ def tp_shard_params(mesh: Mesh, params: Any):
         return NamedSharding(mesh, P())
 
     shardings = jax.tree.map(leaf_sharding, params)
-    placed = jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
+    # One pytree-level device_put batches all leaf transfers (hundreds of
+    # per-leaf calls are slow over the tunneled host link).
+    placed = jax.device_put(params, shardings)
     return placed, shardings
 
 

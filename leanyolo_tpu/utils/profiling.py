@@ -111,7 +111,9 @@ def summarize_trace(out_dir: str, *, steps: int = 1, plane_filter: Optional[str]
             l.name == "XLA Ops" or "XLAPjRtCpuClient" in l.name for l in plane.lines
         )
 
-    candidates = [p for p in xs.planes if plane_filter and plane_filter in p.name]
+    # has_ops also gates the explicit filter: a name-matching metadata/host
+    # plane with no op lines would otherwise read as "this step costs 0 ms".
+    candidates = [p for p in xs.planes if plane_filter and plane_filter in p.name and has_ops(p)]
     if not candidates:
         candidates = [p for p in xs.planes if "TPU" in p.name and has_ops(p)]
     if not candidates:

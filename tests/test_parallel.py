@@ -239,7 +239,7 @@ def test_tensor_parallel_predictor_matches_single_device():
     import jax
 
     sharded = [
-        x for x in jax.tree.leaves(tp.model.params)
+        x for x in jax.tree.leaves(tp.params)
         if hasattr(x, "sharding") and MODEL_AXIS in getattr(x.sharding, "spec", ())
     ]
     assert sharded, "no parameter ended up model-sharded"

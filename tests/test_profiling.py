@@ -31,7 +31,7 @@ def test_profile_step_cli_smoke(tmp_path, monkeypatch, capsys):
     import os
     import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    monkeypatch.syspath_prepend(os.path.join(os.path.dirname(__file__), "..", "tools"))
     monkeypatch.setattr(
         sys, "argv",
         ["profile_step.py", "--model", "yolov10n", "--weights", "none",

@@ -56,6 +56,11 @@ def main() -> None:
                 r = bench_variant(variant, args.imgsz, batch_sizes=bss)
             else:
                 r = bench_train(variant, args.imgsz, batch_sizes=bss)
+            if not r["per_bs"]:
+                # bench_* swallow per-bs failures (OOM at a pinned size);
+                # an empty result must be a loud error, not a 0.0 row in
+                # the regression table.
+                raise RuntimeError(f"{variant}/{mode}: no batch size in {bss} produced a measurement")
             cell = {
                 "images_per_sec_per_chip": round(r["best_ips"], 2),
                 "batch_size": r["best_bs"],
