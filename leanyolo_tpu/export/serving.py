@@ -175,3 +175,125 @@ def load_exported(path: str):
         blob = f.read()
     exported = jax.export.deserialize(bytearray(blob))
     return exported.call
+
+
+def export_serving_bucketed(
+    model: YOLOv10,
+    out_dir: str,
+    *,
+    sizes=(640, 960, 1280),
+    decode: str = "topk",
+    max_dets: int = 300,
+    conf: float = 0.25,
+    iou: float = 0.45,
+    pre_topk: int = 1000,
+    dtype: str = "float32",
+    dynamic_batch: bool = True,
+    fuse: bool = True,
+) -> str:
+    """Arbitrary-size serving: one StableHLO artifact per size bucket.
+
+    jit needs static shapes, so "any image size" is served by a small set of
+    stride-32 bucket programs (SURVEY §7 hard-parts note; the reference's
+    ONNX export is likewise fixed-shape per `--imgsz`, tools/
+    export_onnx.py:96-108): each request letterboxes into the smallest
+    bucket that fits its long side and runs that program. Writes
+    `<name>_<decode>_<size>.stablehlo(.json)` per bucket plus a
+    `manifest.json`; returns the manifest path. Serve via BucketedServing.
+    """
+    sizes = sorted(int(s) for s in sizes)
+    if any(s % 32 for s in sizes):
+        raise ValueError(f"bucket sizes must be stride-32 divisible: {sizes}")
+    buckets = {}
+    for s in sizes:
+        path = export_serving(
+            model, os.path.join(out_dir, f"{model.cfg.name}_{decode}_{s}"),
+            imgsz=s, decode=decode, max_dets=max_dets, conf=conf, iou=iou,
+            pre_topk=pre_topk, dtype=dtype, dynamic_batch=dynamic_batch, fuse=fuse,
+        )
+        buckets[str(s)] = os.path.basename(path)
+    manifest = {
+        "leanyolo_version": __version__,
+        "format": "stablehlo-bucketed",
+        "model_name": model.cfg.name,
+        "class_names": model.class_names,
+        "decode": decode,
+        "max_dets": max_dets,
+        "conf": conf,
+        "dynamic_batch": dynamic_batch,
+        "buckets": buckets,
+        "policy": "letterbox into the smallest bucket >= max(h, w); larger images downscale into the largest bucket",
+    }
+    mpath = os.path.join(out_dir, "manifest.json")
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    return mpath
+
+
+class BucketedServing:
+    """Serve images of ANY size from a bucketed export manifest.
+
+    Per image: pick the bucket (ops.letterbox.choose_bucket over the
+    manifest's sizes), cv2-letterbox into it, run that bucket's program on
+    the batch of same-bucket images, and map boxes back to original-image
+    coordinates — the fixed-shape analog of the reference's per-size ONNX
+    sessions. Programs compile lazily, once per bucket.
+    """
+
+    def __init__(self, manifest_path: str):
+        with open(manifest_path, "r", encoding="utf-8") as f:
+            self.meta = json.load(f)
+        base = os.path.dirname(os.path.abspath(manifest_path))
+        self.sizes = sorted(int(s) for s in self.meta["buckets"])
+        self._paths = {int(s): os.path.join(base, name) for s, name in self.meta["buckets"].items()}
+        self._fns = {}
+
+    def _fn(self, size: int):
+        if size not in self._fns:
+            self._fns[size] = load_exported(self._paths[size])
+        return self._fns[size]
+
+    def predict_images(self, images_rgb, *, apply_conf_filter: bool = True):
+        """HWC RGB uint8 images of any sizes -> per-image [k, 6] arrays
+        (x1, y1, x2, y2, score, cls) in original-image coordinates."""
+        import numpy as np
+
+        from ..ops.boxes import unletterbox_coords
+        from ..ops.letterbox import choose_bucket, letterbox
+
+        images_rgb = list(images_rgb)
+        conf = float(self.meta.get("conf", 0.25))
+        topk_mode = self.meta.get("decode", "topk") == "topk"
+        # Static-batch artifacts accept exactly B=1; run them image-by-image.
+        chunk = None if self.meta.get("dynamic_batch", True) else 1
+        by_bucket = {}
+        for i, img in enumerate(images_rgb):
+            by_bucket.setdefault(choose_bucket(img.shape[:2], self.sizes, max(self.sizes)), []).append(i)
+
+        groups = []
+        for size, idxs in sorted(by_bucket.items()):
+            groups += [(size, idxs)] if chunk is None else [(size, [i]) for i in idxs]
+
+        out = [None] * len(images_rgb)
+        for size, idxs in groups:
+            lbs, metas = [], []
+            for i in idxs:
+                lb, gain, pad = letterbox(images_rgb[i], size)
+                lbs.append(np.ascontiguousarray(lb, dtype=np.float32))
+                metas.append((gain, pad, images_rgb[i].shape[:2]))
+            dets, num = self._fn(size)(jnp.asarray(np.stack(lbs)))
+            dets, num = np.asarray(dets), np.asarray(num)
+            for j, i in enumerate(idxs):
+                # Same row selection as Predictor.predict_images: topk mode
+                # filters by conf (or returns all rows); nms mode truncates
+                # to num_dets.
+                if topk_mode:
+                    d = dets[j][dets[j][:, 4] > conf] if apply_conf_filter else dets[j]
+                else:
+                    d = dets[j][: int(num[j])]
+                if len(d):
+                    gain, pad, orig_hw = metas[j]
+                    boxes = np.asarray(unletterbox_coords(jnp.asarray(d[:, :4]), gain, pad, orig_hw))
+                    d = np.concatenate([boxes, d[:, 4:6]], axis=1)
+                out[i] = d
+        return out

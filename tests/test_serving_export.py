@@ -74,3 +74,49 @@ def test_stablehlo_dynamic_batch(tiny_model, tmp_path):
         dets, num = call(jnp.zeros((b, 64, 64, 3), jnp.float32))
         assert dets.shape == (b, 10, 6)
         assert num.shape == (b,)
+
+
+def test_bucketed_export_and_serving(tiny_model, tmp_path):
+    """Arbitrary-size serving: mixed-size images route to the right bucket
+    program and come back in original-image coordinates."""
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.export.serving import (
+        BucketedServing,
+        build_serving_fn,
+        export_serving_bucketed,
+    )
+
+    mpath = export_serving_bucketed(
+        tiny_model, str(tmp_path / "buck"), sizes=(96, 64), decode="topk",
+        max_dets=10, conf=0.0,
+    )
+    meta = json.loads(open(mpath).read())
+    assert sorted(meta["buckets"]) == ["64", "96"]
+    for name in meta["buckets"].values():
+        assert os.path.exists(os.path.join(str(tmp_path / "buck"), name))
+
+    srv = BucketedServing(mpath)
+    rs = np.random.RandomState(0)
+    imgs = [
+        rs.randint(0, 256, (48, 40, 3), np.uint8),    # -> 64 bucket
+        rs.randint(0, 256, (80, 90, 3), np.uint8),    # -> 96 bucket
+        rs.randint(0, 256, (200, 150, 3), np.uint8),  # larger than all -> 96 (downscale)
+    ]
+    dets = srv.predict_images(imgs, apply_conf_filter=False)
+    assert len(dets) == 3
+    for d, img in zip(dets, imgs):
+        assert d.shape == (10, 6)
+        h, w = img.shape[:2]
+        assert (d[:, 0] >= -1e-3).all() and (d[:, 2] <= w + 1e-3).all()
+        assert (d[:, 1] >= -1e-3).all() and (d[:, 3] <= h + 1e-3).all()
+
+    # An exact-bucket-size image must match the plain single-size program.
+    from leanyolo_tpu.ops.letterbox import letterbox
+
+    img64 = rs.randint(0, 256, (64, 64, 3), np.uint8)
+    lb, _, _ = letterbox(img64, 64)
+    fn, _ = build_serving_fn(tiny_model, imgsz=64, decode="topk", max_dets=10, conf=0.0)
+    ref_dets, _ = fn(jnp.asarray(lb[None].astype(np.float32)))
+    got = srv.predict_images([img64], apply_conf_filter=False)[0]
+    np.testing.assert_allclose(got, np.asarray(ref_dets)[0], rtol=1e-4, atol=1e-4)

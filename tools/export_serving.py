@@ -26,6 +26,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--weights", default="PRETRAINED_COCO")
     p.add_argument("--out", default=None, help="output path (default runs/export/<model>)")
     p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument(
+        "--sizes", default=None,
+        help="comma list of bucket sizes (e.g. 640,960,1280): bucketed "
+        "arbitrary-size export — one StableHLO program per size + manifest.json",
+    )
     p.add_argument("--decode", choices=["topk", "nms"], default="topk")
     p.add_argument("--max-dets", type=int, default=300)
     p.add_argument("--conf", type=float, default=0.25)
@@ -50,6 +55,30 @@ def main() -> None:
     class_names = args.class_names.split(",") if args.class_names else coco80_class_names()
     weights = None if args.weights in ("none", "None", "") else args.weights
     model = get_model(args.model, weights=weights, class_names=class_names)
+
+    if args.sizes:
+        from leanyolo_tpu.export.serving import BucketedServing, export_serving_bucketed
+
+        sizes = [int(s) for s in args.sizes.split(",")]
+        out = args.out or f"runs/export/{args.model}_{args.decode}_bucketed"
+        mpath = export_serving_bucketed(
+            model, out, sizes=sizes, decode=args.decode, max_dets=args.max_dets,
+            conf=args.conf, iou=args.iou, pre_topk=args.pre_topk, dtype=args.dtype,
+            dynamic_batch=not args.static_batch, fuse=not args.no_fuse,
+        )
+        print(f"exported {len(sizes)} buckets: {mpath}")
+        if args.validate:
+            # Round-trip: mixed-size images through the bucketed server.
+            rs = np.random.RandomState(0)
+            imgs = [
+                rs.randint(0, 256, (sizes[0] // 2, sizes[0] // 4 * 3, 3), np.uint8),
+                rs.randint(0, 256, (max(sizes) * 2, max(sizes), 3), np.uint8),
+            ]
+            dets = BucketedServing(mpath).predict_images(imgs, apply_conf_filter=False)
+            assert len(dets) == len(imgs) and all(d is not None and d.shape[-1] == 6 for d in dets)
+            print(f"validate: per-image dets {[d.shape for d in dets]}")
+            print("validation PASSED")
+        return
 
     out = args.out or f"runs/export/{args.model}_{args.decode}_{args.imgsz}"
     path = export_serving(
