@@ -59,6 +59,64 @@ def make_synth_coco(root, *, n_images=4, size=(96, 128), n_classes=3, boxes_per_
     return img_dir, ann_path
 
 
+def make_learnable_coco(root, *, n_images=240, size=(160, 160), seed=0):
+    """Synthetic dataset where class IS predictable from appearance:
+    class0 = red rectangle, class1 = green circle, class2 = blue triangle,
+    on noise backgrounds. Used by the convergence demo (SQA QT-001) to prove
+    the training stack LEARNS (the reference proves this on Aquarium,
+    reference todo.md:4 — not reachable offline)."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    h, w = size
+
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        name = f"img_{i:04d}.jpg"
+        img = rng.randint(90, 130, (h, w, 3)).astype(np.uint8)  # gray noise bg
+        for _ in range(int(rng.randint(1, 4))):
+            cls = int(rng.randint(0, 3))
+            s = int(rng.uniform(0.18, 0.4) * min(h, w))
+            x = int(rng.uniform(0, w - s - 1))
+            y = int(rng.uniform(0, h - s - 1))
+            jit = rng.randint(-25, 26, 3)
+            base = {0: (40, 40, 200), 1: (40, 200, 40), 2: (200, 40, 40)}[cls]  # BGR-ish in RGB order is fine: it's consistent
+            color = tuple(int(np.clip(c + j, 0, 255)) for c, j in zip(base, jit))
+            if cls == 0:
+                cv2.rectangle(img, (x, y), (x + s, y + s), color, -1)
+            elif cls == 1:
+                cv2.circle(img, (x + s // 2, y + s // 2), s // 2, color, -1)
+            else:
+                pts = np.asarray([[x + s // 2, y], [x, y + s], [x + s, y + s]], np.int32)
+                cv2.fillPoly(img, [pts], color)
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": i + 1,
+                    "category_id": cls + 1,
+                    "bbox": [float(x), float(y), float(s + 1), float(s + 1)],
+                    "area": float((s + 1) * (s + 1)),
+                    "iscrowd": 0,
+                }
+            )
+            ann_id += 1
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        images.append({"id": i + 1, "file_name": name, "width": w, "height": h})
+
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": k + 1, "name": n} for k, n in enumerate(("rect", "circle", "triangle"))],
+    }
+    ann_path = os.path.join(root, "annotations.json")
+    with open(ann_path, "w", encoding="utf-8") as f:
+        json.dump(ann, f)
+    return img_dir, ann_path
+
+
 def make_synth_aquarium_tree(root, *, seed=0):
     """Create a raw Kaggle-Aquarium-style extracted tree for prepare_aquarium:
     nested split dirs each holding `_annotations.coco.json` plus images whose
