@@ -120,3 +120,22 @@ def test_bucketed_export_and_serving(tiny_model, tmp_path):
     ref_dets, _ = fn(jnp.asarray(lb[None].astype(np.float32)))
     got = srv.predict_images([img64], apply_conf_filter=False)[0]
     np.testing.assert_allclose(got, np.asarray(ref_dets)[0], rtol=1e-4, atol=1e-4)
+
+
+def test_bucketed_serving_nms_mode(tiny_model, tmp_path):
+    """nms-mode bucketed serving truncates per-image results to num_dets."""
+    from leanyolo_tpu.export.serving import BucketedServing, export_serving_bucketed
+
+    mpath = export_serving_bucketed(
+        tiny_model, str(tmp_path / "bnms"), sizes=(64,), decode="nms",
+        max_dets=15, conf=0.01, pre_topk=100,
+    )
+    srv = BucketedServing(mpath)
+    rs = np.random.RandomState(1)
+    imgs = [rs.randint(0, 256, (50, 60, 3), np.uint8), rs.randint(0, 256, (64, 64, 3), np.uint8)]
+    dets = srv.predict_images(imgs)
+    for d, img in zip(dets, imgs):
+        assert d.shape[1] == 6 and d.shape[0] <= 15
+        assert (d[:, 4] >= 0.01).all()  # nms mode truncates to num_dets rows
+        h, w = img.shape[:2]
+        assert (d[:, 2] <= w + 1e-3).all() and (d[:, 3] <= h + 1e-3).all()
