@@ -35,6 +35,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--save-dir", default="runs/infer")
     p.add_argument("--class-names", default=None, help="comma-separated; default COCO-80")
     p.add_argument(
+        "--classes-ann", default=None,
+        help="COCO-style annotations JSON to derive class names from "
+        "(reference tools/infer.py:52,167-174); --class-names wins if both given",
+    )
+    p.add_argument(
         "--spatial-parallel", type=int, default=0, metavar="S",
         help="latency mode: run EACH image across S chips by sharding its "
         "height over a (1, S) mesh (GSPMD conv halo exchange over ICI)",
@@ -61,7 +66,16 @@ def main() -> None:
     from leanyolo_tpu.engine.predictor import Predictor
     from leanyolo_tpu.utils.viz import draw_detections
 
-    class_names = args.class_names.split(",") if args.class_names else coco80_class_names()
+    if args.class_names:
+        class_names = args.class_names.split(",")
+    elif args.classes_ann:
+        import json
+
+        with open(args.classes_ann, "r", encoding="utf-8") as f:
+            cats = json.load(f).get("categories", [])
+        class_names = [c.get("name", str(i)) for i, c in enumerate(sorted(cats, key=lambda c: c.get("id", 0)))]
+    else:
+        class_names = coco80_class_names()
     weights = None if args.weights in ("none", "None", "") else args.weights
     model = get_model(args.model, weights=weights, class_names=class_names)
     mesh = None

@@ -55,6 +55,8 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="runs/train")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--eval-conf", type=float, default=0.001, help="per-epoch eval score threshold (reference tools/train.py:284)")
+    p.add_argument("--eval-iou", type=float, default=0.65, help="per-epoch eval NMS IoU (only used with nms decode paths)")
     p.add_argument(
         "--resume", action="store_true",
         help="resume from <out-dir>/last.npz + train_state.npz (exact: optimizer "
@@ -198,7 +200,10 @@ def main() -> None:
         from leanyolo_tpu.engine.predictor import Predictor
 
         # One compiled eval program reused across epochs.
-        eval_predictor = Predictor(model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False)
+        eval_predictor = Predictor(
+            model, imgsz=args.imgsz, decode="topk", conf_thresh=args.eval_conf,
+            iou_thresh=args.eval_iou, donate=False,
+        )
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
@@ -229,7 +234,7 @@ def main() -> None:
                     from leanyolo_tpu.parallel.distributed import proc0_local_eval
 
                     eval_model, eval_predictor = proc0_local_eval(
-                        model, eval_predictor, imgsz=args.imgsz
+                        model, eval_predictor, imgsz=args.imgsz, conf_thresh=args.eval_conf
                     )
                 stats = validate_coco(
                     eval_model,
@@ -238,6 +243,8 @@ def main() -> None:
                     imgsz=args.imgsz,
                     batch_size=local_bs,
                     decode="topk",
+                    conf_thresh=args.eval_conf,
+                    iou_thresh=args.eval_iou,
                     workers=args.workers,
                     predictor=eval_predictor,
                 )
