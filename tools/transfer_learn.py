@@ -45,7 +45,16 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--no-amp", action="store_true", help="disable bf16 compute")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--max-boxes", type=int, default=128)
+    p.add_argument("--max-images", type=int, default=None, help="debug subset size (reference --debug-train-size)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--eval-conf", type=float, default=0.001, help="per-epoch eval score threshold (reference --eval-conf)")
+    p.add_argument("--eval-iou", type=float, default=0.65, help="per-epoch eval NMS IoU (reference --eval-iou)")
+    p.add_argument(
+        "--viz-interval", type=int, default=0,
+        help="every N steps, decode the current weights on the first train image "
+        "and save an annotated snapshot to <out-dir>/viz (reference "
+        "transfer_learn_aquarium.py:474-484; 0 = off)",
+    )
     p.add_argument("--data-parallel", action="store_true")
     from leanyolo_tpu.parallel.distributed import add_distributed_args
 
@@ -116,7 +125,7 @@ def main() -> None:
         )
         log.info("head reset to fresh random init")
 
-    ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz)
+    ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz, max_images=args.max_images)
 
     local_bs = args.batch_size
     if args.distributed and nprocs > 1:
@@ -173,7 +182,31 @@ def main() -> None:
 
     eval_predictor = None
     if not (args.distributed and nprocs > 1):
-        eval_predictor = Predictor(model, imgsz=args.imgsz, decode="topk", conf_thresh=0.001, donate=False)
+        eval_predictor = Predictor(
+            model, imgsz=args.imgsz, decode="topk", conf_thresh=args.eval_conf,
+            iou_thresh=args.eval_iou, donate=False,
+        )
+
+    def save_train_viz(batch) -> None:
+        """Decode the CURRENT weights on the first image of the batch and save
+        an annotated snapshot (reference transfer_learn_aquarium.py:474-484)."""
+        import cv2
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.utils.viz import draw_detections
+
+        eval_predictor.update_params(model.params)
+        dets, _ = eval_predictor.run_batch(jnp.asarray(batch.images[:1]))
+        d = np.asarray(dets)[0]
+        d = d[d[:, 4] > args.eval_conf]
+        viz_dir = out_dir / "viz"
+        viz_dir.mkdir(parents=True, exist_ok=True)
+        bgr = cv2.cvtColor(np.asarray(batch.images[0], np.uint8), cv2.COLOR_RGB2BGR)
+        path = str(viz_dir / f"step{trainer.global_step:06d}.jpg")
+        cv2.imwrite(path, draw_detections(bgr, d, class_names))
+        log.info(f"[viz] saved: {path}")
 
     best_map = -1.0
     for epoch in range(args.epochs):
@@ -186,6 +219,13 @@ def main() -> None:
             key, sub = jax.random.split(key)
             losses = trainer.train_step(batch, sub)
             nb += 1
+            if (
+                args.viz_interval
+                and eval_predictor is not None
+                and pid == 0
+                and trainer.global_step % args.viz_interval == 0
+            ):
+                save_train_viz(batch)
             if nb == steps_per_epoch:
                 for k in running:
                     running[k] = float(losses[k])
@@ -202,7 +242,7 @@ def main() -> None:
                     from leanyolo_tpu.parallel.distributed import proc0_local_eval
 
                     eval_model, eval_predictor = proc0_local_eval(
-                        model, eval_predictor, imgsz=args.imgsz
+                        model, eval_predictor, imgsz=args.imgsz, conf_thresh=args.eval_conf
                     )
                 stats = validate_coco(
                     eval_model,
@@ -211,6 +251,8 @@ def main() -> None:
                     imgsz=args.imgsz,
                     batch_size=local_bs,
                     decode="topk",
+                    conf_thresh=args.eval_conf,
+                    iou_thresh=args.eval_iou,
                     workers=args.workers,
                     predictor=eval_predictor,
                 )
