@@ -74,6 +74,7 @@ def parse_args() -> argparse.Namespace:
     )
     p.add_argument("--log-csv", default="runs/val_log.csv")
     p.add_argument("--notes", default="")
+    p.add_argument("--run-id", default=None, help="CSV run identifier override (reference tools/val.py:374)")
     return p.parse_args()
 
 
@@ -180,7 +181,7 @@ def main() -> None:
         Path(args.log_csv),
         {
             "timestamp": now_iso(),
-            "run_id": uuid.uuid4().hex[:8],
+            "run_id": args.run_id or uuid.uuid4().hex[:8],
             **env,
             "runtime": "jax",
             "precision": "bf16" if args.dtype == "bf16" else "fp32",
