@@ -245,6 +245,41 @@ def test_tensor_parallel_predictor_matches_single_device():
     assert sharded, "no parameter ended up model-sharded"
 
 
+def test_predictors_sharing_a_model_stay_isolated():
+    """Constructing a TP-meshed Predictor must NOT reshard the shared model's
+    params in place: a previously-built plain Predictor (jitted against
+    replicated/default placement) keeps producing identical results, and its
+    update_params keeps working from the untouched host pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+    from leanyolo_tpu.parallel.mesh import make_tp_mesh
+
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    model = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    plain = Predictor(model, imgsz=64, decode="topk", donate=False)
+    before, nb_before = plain.run_batch(jnp.asarray(imgs))
+    before = np.asarray(before)
+
+    tp = Predictor(model, imgsz=64, decode="topk", donate=False, mesh=make_tp_mesh(2, 4))
+    tp.run_batch(jnp.asarray(imgs))
+    # model.params placement is untouched (no multi-device committed leaves)
+    for leaf in jax.tree.leaves(model.params):
+        if hasattr(leaf, "sharding"):
+            assert len(leaf.sharding.device_set) == 1, "shared model got resharded in place"
+
+    after, nb_after = plain.run_batch(jnp.asarray(imgs))
+    np.testing.assert_array_equal(before, np.asarray(after))
+    np.testing.assert_array_equal(np.asarray(nb_before), np.asarray(nb_after))
+    # weight refresh through the private staging path still works
+    plain.update_params(model.params)
+    again, _ = plain.run_batch(jnp.asarray(imgs))
+    np.testing.assert_array_equal(before, np.asarray(again))
+
+
 def test_distributed_single_process_degrades():
     """init_distributed with no coordinator is a local no-op; global_batch
     falls back to a sharded device_put; process_local_slice covers the batch."""
