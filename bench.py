@@ -82,6 +82,39 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
     return {"best_ips": best_ips, "best_bs": best_bs, "per_bs": results}
 
 
+def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 120.0) -> None:
+    """Block until the device backend initializes, bounded.
+
+    The axon tunnel occasionally goes down for stretches; in-process
+    jax.devices() then HANGS in backend init (unkillable from Python), so
+    probe in a SUBPROCESS with a timeout and retry until max_wait_s. Raises
+    after the budget so the caller fails loudly instead of hanging forever.
+    """
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout_s, capture_output=True, text=True,
+            )
+            if out.returncode == 0 and out.stdout.strip().isdigit():
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"device backend unavailable after {max_wait_s:.0f}s ({attempt} probes) — "
+                "axon tunnel down? (CLAUDE.md environment gotchas)"
+            )
+        print(f"backend probe {attempt} failed; retrying...", flush=True)
+        time.sleep(30.0)
+
+
 def main() -> None:
     import argparse
 
@@ -92,6 +125,7 @@ def main() -> None:
     p.add_argument("--approx", action="store_true", help="approx_max_k decode (headline stays exact)")
     args = p.parse_args()
 
+    wait_for_backend()
     r = bench_variant(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")), approx=args.approx)
     print(
         json.dumps(

@@ -88,6 +88,9 @@ def main() -> None:
                    help="jax.checkpoint the forward (measured 15% slower at bs128; see PERF.md)")
     args = p.parse_args()
 
+    from bench import wait_for_backend
+
+    wait_for_backend()
     r = bench_train(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")), args.nboxes, remat=args.remat)
     print(
         json.dumps(
