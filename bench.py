@@ -90,28 +90,34 @@ def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 120.0)
     probe in a SUBPROCESS with a timeout and retry until max_wait_s. Raises
     after the budget so the caller fails loudly instead of hanging forever.
     """
+    import os
     import subprocess
     import sys
 
+    # The headline numbers are per-CHIP; a silent CPU fallback would emit a
+    # bogus measurement. Local CPU debugging can opt in explicitly.
+    allow_cpu = os.environ.get("LEANYOLO_BENCH_ALLOW_CPU", "") == "1"
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
         try:
             out = subprocess.run(
-                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
                 timeout=probe_timeout_s, capture_output=True, text=True,
             )
-            if out.returncode == 0 and out.stdout.strip().isdigit():
+            platform = out.stdout.strip().split("\n")[-1] if out.returncode == 0 else ""
+            if platform and (platform != "cpu" or allow_cpu):
                 return
+            why = "found only CPU (set LEANYOLO_BENCH_ALLOW_CPU=1 to bench it)" if platform == "cpu" else "failed"
         except subprocess.TimeoutExpired:
-            pass
+            why = f"timed out after {probe_timeout_s:.0f}s"
         if time.monotonic() >= deadline:
             raise RuntimeError(
                 f"device backend unavailable after {max_wait_s:.0f}s ({attempt} probes) — "
                 "axon tunnel down? (CLAUDE.md environment gotchas)"
             )
-        print(f"backend probe {attempt} failed; retrying...", flush=True)
+        print(f"backend probe {attempt} {why}; retrying...", flush=True)
         time.sleep(30.0)
 
 

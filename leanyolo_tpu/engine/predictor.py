@@ -232,7 +232,7 @@ class Predictor:
         level, not per-pixel — cv2 uses fixed-point interpolation).
         Boxes come back in original-image coordinates either way.
         """
-        from ..ops.boxes import unletterbox_coords
+        from ..models.yolov10.decode import postprocess_to_original
 
         if preprocess == "device":
             from ..ops.letterbox import canvas_batch
@@ -248,18 +248,7 @@ class Predictor:
                 metas.append((gain, pad, img.shape[:2]))
             batch = jnp.asarray(np.stack(lbs))
             dets, num = self.run_batch(batch)
-        dets = np.asarray(dets)
-        num = np.asarray(num)
-
-        out = []
-        for i, (gain, pad, orig_hw) in enumerate(metas):
-            d = dets[i]
-            if self.decode == "topk":
-                d = d[d[:, 4] > self.conf_thresh] if apply_conf_filter else d
-            else:
-                d = d[: int(num[i])]
-            if len(d):
-                boxes = np.asarray(unletterbox_coords(jnp.asarray(d[:, :4]), gain, pad, orig_hw))
-                d = np.concatenate([boxes, d[:, 4:6]], axis=1)
-            out.append(d)
-        return out
+        return postprocess_to_original(
+            dets, num, metas, decode=self.decode, conf_thresh=self.conf_thresh,
+            apply_conf_filter=apply_conf_filter,
+        )

@@ -48,16 +48,20 @@ def build_serving_fn(
     pre_topk: int = 1000,
     dtype: str = "float32",
     fuse: bool = True,
+    prefolded: bool = False,
 ):
     """Returns (fn(images) -> (detections, num_dets), params_baked).
 
     `fn` closes over (optionally folded) params so the exported artifact is
     self-contained; images are [B, imgsz, imgsz, 3] raw pixels NHWC.
+    `prefolded=True` declares model.params already folded (fold is NOT
+    idempotent: the input normalization bakes into conv0), keeping fuse's
+    program semantics without re-folding.
     """
     cfg = model.cfg
     nc = model.nc
     params = model.params
-    if fuse:
+    if fuse and not prefolded:
         from ..models.yolov10.fold import fold_params
 
         params = fold_params(params)
@@ -124,6 +128,7 @@ def export_serving(
     dtype: str = "float32",
     dynamic_batch: bool = True,
     fuse: bool = True,
+    prefolded: bool = False,
 ) -> str:
     """Serialize the serving function to StableHLO bytes + JSON sidecar.
 
@@ -132,7 +137,7 @@ def export_serving(
     """
     fn, _ = build_serving_fn(
         model, imgsz=imgsz, decode=decode, max_dets=max_dets, conf=conf, iou=iou,
-        pre_topk=pre_topk, dtype=dtype, fuse=fuse,
+        pre_topk=pre_topk, dtype=dtype, fuse=fuse, prefolded=prefolded,
     )
     if dynamic_batch:
         (bdim,) = jax.export.symbolic_shape("b")
@@ -204,12 +209,20 @@ def export_serving_bucketed(
     sizes = sorted(int(s) for s in sizes)
     if any(s % 32 for s in sizes):
         raise ValueError(f"bucket sizes must be stride-32 divisible: {sizes}")
+    prefolded = False
+    if fuse:
+        # Folding is size-independent; do it ONCE for all buckets.
+        from ..models.yolov10.fold import fold_params
+
+        model = YOLOv10(cfg=model.cfg, class_names=model.class_names, params=fold_params(model.params))
+        prefolded = True
     buckets = {}
     for s in sizes:
         path = export_serving(
             model, os.path.join(out_dir, f"{model.cfg.name}_{decode}_{s}"),
             imgsz=s, decode=decode, max_dets=max_dets, conf=conf, iou=iou,
-            pre_topk=pre_topk, dtype=dtype, dynamic_batch=dynamic_batch, fuse=fuse,
+            pre_topk=pre_topk, dtype=dtype, dynamic_batch=dynamic_batch,
+            fuse=fuse, prefolded=prefolded,
         )
         buckets[str(s)] = os.path.basename(path)
     manifest = {
@@ -258,12 +271,12 @@ class BucketedServing:
         (x1, y1, x2, y2, score, cls) in original-image coordinates."""
         import numpy as np
 
-        from ..ops.boxes import unletterbox_coords
+        from ..models.yolov10.decode import postprocess_to_original
         from ..ops.letterbox import choose_bucket, letterbox
 
         images_rgb = list(images_rgb)
         conf = float(self.meta.get("conf", 0.25))
-        topk_mode = self.meta.get("decode", "topk") == "topk"
+        decode_mode = self.meta.get("decode", "topk")
         # Static-batch artifacts accept exactly B=1; run them image-by-image.
         chunk = None if self.meta.get("dynamic_batch", True) else 1
         by_bucket = {}
@@ -282,18 +295,10 @@ class BucketedServing:
                 lbs.append(np.ascontiguousarray(lb, dtype=np.float32))
                 metas.append((gain, pad, images_rgb[i].shape[:2]))
             dets, num = self._fn(size)(jnp.asarray(np.stack(lbs)))
-            dets, num = np.asarray(dets), np.asarray(num)
-            for j, i in enumerate(idxs):
-                # Same row selection as Predictor.predict_images: topk mode
-                # filters by conf (or returns all rows); nms mode truncates
-                # to num_dets.
-                if topk_mode:
-                    d = dets[j][dets[j][:, 4] > conf] if apply_conf_filter else dets[j]
-                else:
-                    d = dets[j][: int(num[j])]
-                if len(d):
-                    gain, pad, orig_hw = metas[j]
-                    boxes = np.asarray(unletterbox_coords(jnp.asarray(d[:, :4]), gain, pad, orig_hw))
-                    d = np.concatenate([boxes, d[:, 4:6]], axis=1)
+            group_out = postprocess_to_original(
+                dets, num, metas, decode=decode_mode, conf_thresh=conf,
+                apply_conf_filter=apply_conf_filter,
+            )
+            for i, d in zip(idxs, group_out):
                 out[i] = d
         return out

@@ -380,3 +380,34 @@ def detections_to_list(dets, num_dets=None, conf_thresh: float = 0.0) -> List:
             d = d[d[:, 4] > conf_thresh]
         out.append(d)
     return out
+
+
+def postprocess_to_original(dets, num, metas, *, decode: str, conf_thresh: float, apply_conf_filter: bool) -> List:
+    """Host-side: fixed-shape device results -> per-image arrays in
+    ORIGINAL-image coordinates (the shared tail of Predictor.predict_images
+    and BucketedServing.predict_images).
+
+    Row selection matches the reference pipelines: topk mode filters by conf
+    (or returns all rows when apply_conf_filter=False); nms mode truncates
+    to num_dets. `metas` is [(gain, pad, orig_hw)] from the letterbox step.
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ...ops.boxes import unletterbox_coords
+
+    dets = np.asarray(dets)
+    num = np.asarray(num)
+    out = []
+    for i, (gain, pad, orig_hw) in enumerate(metas):
+        d = dets[i]
+        if decode == "topk":
+            d = d[d[:, 4] > conf_thresh] if apply_conf_filter else d
+        else:
+            d = d[: int(num[i])]
+        if len(d):
+            boxes = np.asarray(unletterbox_coords(jnp.asarray(d[:, :4]), gain, pad, orig_hw))
+            d = np.concatenate([boxes, d[:, 4:6]], axis=1)
+        out.append(d)
+    return out

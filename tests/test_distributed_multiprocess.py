@@ -219,6 +219,10 @@ def test_two_process_distributed_transfer_cli(tmp_path):
         "--val-images", images_dir, "--val-ann", ann,
         "--imgsz", "32", "--epochs", "2", "--unfreeze-epoch", "1",
         "--batch-size", "4", "--max-boxes", "8", "--workers", "0", "--distributed",
+        # Exercises the distributed viz path: epoch 2's snapshots must
+        # host-copy the global params before staging into the proc-0-local
+        # eval predictor (non-addressable global arrays would crash pid 0).
+        "--viz-interval", "1",
     ]
     procs = [
         subprocess.Popen(
@@ -244,6 +248,11 @@ def test_two_process_distributed_transfer_cli(tmp_path):
     assert "UNFREEZE" in log0 or "UNFREEZE" in outs[0][0] + outs[0][1]
     assert (out0 / "ckpt.npz").exists()
     assert not (out1 / "ckpt.npz").exists()
+    # viz snapshots: written by process 0 only, from epoch 2 on (the local
+    # eval predictor exists only after the first proc0_local_eval)
+    viz0 = list((out0 / "viz").glob("step*.jpg")) if (out0 / "viz").exists() else []
+    assert viz0, "distributed --viz-interval produced no snapshots on process 0"
+    assert not (out1 / "viz").exists()
 
 
 VAL_WRAPPER = TRAIN_WRAPPER.replace("tools/train.py", "tools/val.py").replace(

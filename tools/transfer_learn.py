@@ -197,7 +197,14 @@ def main() -> None:
 
         from leanyolo_tpu.utils.viz import draw_detections
 
-        eval_predictor.update_params(model.params)
+        params = model.params
+        if args.distributed and nprocs > 1:
+            # The trainer's params are GLOBAL arrays committed across all
+            # processes' devices — not fully addressable here. Host-copy
+            # before staging into the process-0 local predictor (same move
+            # as proc0_local_eval).
+            params = jax.tree.map(lambda x: np.asarray(x), params)
+        eval_predictor.update_params(params)
         dets, _ = eval_predictor.run_batch(jnp.asarray(batch.images[:1]))
         d = np.asarray(dets)[0]
         d = d[d[:, 4] > args.eval_conf]
