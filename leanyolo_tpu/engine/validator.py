@@ -153,6 +153,7 @@ def validate_coco(
     class_wise_nms: bool = False,
     save_detections: Optional[str] = None,
     measure_speed: bool = False,
+    fps_warmup: int = 1,
     predictor: Optional[Predictor] = None,
     viz_dir: Optional[str] = None,
     viz_conf: float = 0.25,
@@ -221,7 +222,7 @@ def validate_coco(
         wall = time.perf_counter() - t0
         return _finish_sharded(
             ds, all_results, n_images, wall, ann_json, max_images, save_detections,
-            measure_speed, predictor, shard,
+            measure_speed, fps_warmup, predictor, shard,
         )
 
     for batch in loader:
@@ -245,7 +246,8 @@ def validate_coco(
         n_images += sum(m is not None for m in batch.meta)
     wall = time.perf_counter() - t0
     return _finish_sharded(
-        ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, predictor, shard
+        ds, all_results, n_images, wall, ann_json, max_images, save_detections,
+        measure_speed, fps_warmup, predictor, shard,
     )
 
 
@@ -292,7 +294,7 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
 
 
 def _finish_sharded(ds, all_results, n_images, wall, ann_json, max_images,
-                    save_detections, measure_speed, predictor, shard):
+                    save_detections, measure_speed, fps_warmup, predictor, shard):
     """Sharded multi-host finish: merge per-process detections, score ONCE on
     process 0 (the numpy evaluator costs minutes at full-COCO scale — running
     it on every host is pure waste), then share the small stats dict so every
@@ -301,7 +303,7 @@ def _finish_sharded(ds, all_results, n_images, wall, ann_json, max_images,
     Single-process: plain _finish."""
     if shard is None or shard[1] <= 1:
         return _finish(ds, all_results, n_images, wall, ann_json, max_images,
-                       save_detections, measure_speed, predictor)
+                       save_detections, measure_speed, fps_warmup, predictor)
     import jax
 
     from ..parallel.distributed import allgather_obj
@@ -313,11 +315,11 @@ def _finish_sharded(ds, all_results, n_images, wall, ann_json, max_images,
     stats = None
     if jax.process_index() == 0:
         stats = _finish(ds, all_results, n_images, wall, ann_json, max_images,
-                        save_detections, measure_speed, predictor)
+                        save_detections, measure_speed, fps_warmup, predictor)
     return allgather_obj(stats)[0]
 
 
-def _finish(ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, predictor):
+def _finish(ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, fps_warmup, predictor):
     if save_detections:
         os.makedirs(os.path.dirname(os.path.abspath(save_detections)), exist_ok=True)
         with open(save_detections, "w", encoding="utf-8") as f:
@@ -339,5 +341,5 @@ def _finish(ds, all_results, n_images, wall, ann_json, max_images, save_detectio
     stats["wall_s"] = wall
     stats["throughput_ips"] = n_images / wall if wall > 0 else 0.0
     if measure_speed:
-        stats["fps"] = measure_fps(predictor, batch_size=1)
+        stats["fps"] = measure_fps(predictor, batch_size=1, warmup=fps_warmup)
     return stats

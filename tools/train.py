@@ -55,6 +55,7 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="runs/train")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=10, help="print loss every N steps (reference tools/train.py:251)")
     p.add_argument("--eval-conf", type=float, default=0.001, help="per-epoch eval score threshold (reference tools/train.py:284)")
     p.add_argument("--eval-iou", type=float, default=0.65, help="per-epoch eval NMS IoU (only used with nms decode paths)")
     p.add_argument(
@@ -207,7 +208,6 @@ def main() -> None:
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
-        running = {"total": 0.0, "cls": 0.0, "reg": 0.0}
         nb = 0
         loader.set_epoch(epoch)  # replay the exact shuffle order on resume
         for batch in loader:
@@ -216,10 +216,8 @@ def main() -> None:
             sub = jax.random.fold_in(base_key, trainer.global_step)
             losses = trainer.train_step(batch, sub)
             nb += 1
-            if nb % 10 == 0 or nb == steps_per_epoch:
-                vals = {k: float(losses[k]) for k in running}
-                for k in running:
-                    running[k] += vals[k]
+            if nb % max(1, args.log_interval) == 0 or nb == steps_per_epoch:
+                vals = {k: float(losses[k]) for k in ("total", "cls", "reg")}
                 print(
                     f"epoch {epoch + 1}/{args.epochs} step {nb}/{steps_per_epoch} "
                     f"total={vals['total']:.4f} cls={vals['cls']:.4f} reg={vals['reg']:.4f}"

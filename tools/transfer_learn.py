@@ -45,7 +45,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--no-amp", action="store_true", help="disable bf16 compute")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--max-boxes", type=int, default=128)
-    p.add_argument("--max-images", type=int, default=None, help="debug subset size (reference --debug-train-size)")
+    p.add_argument("--max-images", type=int, default=None, help="train debug subset size (reference --debug-train-size)")
+    p.add_argument("--max-val-images", type=int, default=None, help="eval debug subset size (reference --debug-val-size)")
+    p.add_argument("--eval-every", type=int, default=1, help="evaluate every N epochs (reference --debug-eval-every)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--eval-conf", type=float, default=0.001, help="per-epoch eval score threshold (reference --eval-conf)")
     p.add_argument("--eval-iou", type=float, default=0.65, help="per-epoch eval NMS IoU (reference --eval-iou)")
@@ -242,7 +244,7 @@ def main() -> None:
             f"cls={running['cls']:.4f} reg={running['reg']:.4f} time={dt:.1f}s"
         )
 
-        if pid == 0:
+        if pid == 0 and (epoch + 1) % max(1, args.eval_every) == 0:
             try:
                 eval_model = model
                 if args.distributed and nprocs > 1:
@@ -260,6 +262,7 @@ def main() -> None:
                     decode="topk",
                     conf_thresh=args.eval_conf,
                     iou_thresh=args.eval_iou,
+                    max_images=args.max_val_images,
                     workers=args.workers,
                     predictor=eval_predictor,
                 )
@@ -270,6 +273,7 @@ def main() -> None:
             except Exception as e:  # eval failures are non-fatal (reference transfer:511-512)
                 log.info(f"VAL failed: {e}")
 
+        if pid == 0:
             save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
 
     if pid == 0:

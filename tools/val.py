@@ -45,6 +45,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--viz-name-mode", choices=["file", "id", "index"], default="file")
     p.add_argument("--measure-fps", action="store_true")
     p.add_argument(
+        "--warmup-iters", type=int, default=1,
+        help="warm passes of the chained FPS loop before measuring "
+        "(reference tools/val.py:83; one pass compiles AND warms here)",
+    )
+    p.add_argument(
         "--preprocess", choices=["host", "device"], default="host",
         help="'device' letterboxes on-TPU inside the compiled program (fixed canvas + bilinear warp)",
     )
@@ -160,6 +165,7 @@ def main() -> None:
         class_wise_nms=args.class_wise_nms,
         save_detections=args.save_detections if pid == 0 else None,
         measure_speed=args.measure_fps,
+        fps_warmup=args.warmup_iters,
         viz_dir=args.viz_dir if pid == 0 else None,
         viz_conf=args.viz_conf,
         viz_name_mode=args.viz_name_mode,
