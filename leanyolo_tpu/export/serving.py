@@ -54,9 +54,10 @@ def build_serving_fn(
 
     `fn` closes over (optionally folded) params so the exported artifact is
     self-contained; images are [B, imgsz, imgsz, 3] raw pixels NHWC.
-    `prefolded=True` declares model.params already folded (fold is NOT
-    idempotent: the input normalization bakes into conv0), keeping fuse's
-    program semantics without re-folding.
+    `prefolded=True` declares model.params already folded, skipping the
+    redundant re-fold (folding is idempotent — the norm fold zeroes the
+    input_subtract/divide buffers it consumed, tests/test_fold.py — this
+    is purely a work skip for multi-bucket exports).
     """
     cfg = model.cfg
     nc = model.nc

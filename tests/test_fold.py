@@ -46,3 +46,24 @@ def test_fold_shrinks_tree():
     n_before = len(flatten_param_paths(model.params))
     n_after = len(flatten_param_paths(fold_params(model.params)))
     assert n_after < n_before / 2  # 4 BN leaves + w -> w + b
+
+
+def test_fold_idempotent():
+    """Re-folding folded params is a bit-exact no-op: the conv/bn and
+    RepVGGDW patterns no longer match, and the norm fold zeroed the
+    input_subtract/divide buffers it consumed (export_serving_bucketed's
+    prefolded skip relies on this being safe, not on avoiding corruption)."""
+    import jax
+    import numpy as np
+
+    from leanyolo_tpu.models.yolov10.fold import fold_params
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    model = YOLOv10.create("yolov10n", class_names=["a"], seed=0)
+    f1 = fold_params(model.params)
+    f2 = fold_params(f1)
+    l1, t1 = jax.tree.flatten(f1)
+    l2, t2 = jax.tree.flatten(f2)
+    assert t1 == t2
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
