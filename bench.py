@@ -99,6 +99,7 @@ def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 120.0)
     allow_cpu = os.environ.get("LEANYOLO_BENCH_ALLOW_CPU", "") == "1"
     deadline = time.monotonic() + max_wait_s
     attempt = 0
+    last_stderr = ""
     while True:
         attempt += 1
         try:
@@ -109,13 +110,27 @@ def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 120.0)
             platform = out.stdout.strip().split("\n")[-1] if out.returncode == 0 else ""
             if platform and (platform != "cpu" or allow_cpu):
                 return
-            why = "found only CPU (set LEANYOLO_BENCH_ALLOW_CPU=1 to bench it)" if platform == "cpu" else "failed"
+            if out.returncode != 0:
+                last_stderr = out.stderr.strip().split("\n")[-1] if out.stderr else ""
+                # A tunnel outage surfaces as a long hang then UNAVAILABLE —
+                # worth retrying. A deterministic local failure (broken
+                # install, bad plugin config) fails instantly with a Python
+                # traceback; retrying that for 25 min only hides the cause.
+                if "Error" in last_stderr and "UNAVAILABLE" not in last_stderr:
+                    raise RuntimeError(
+                        f"backend probe failed deterministically (not a tunnel outage): {last_stderr}"
+                    )
+            why = (
+                "found only CPU (set LEANYOLO_BENCH_ALLOW_CPU=1 to bench it)"
+                if platform == "cpu"
+                else f"failed: {last_stderr or 'no stderr'}"
+            )
         except subprocess.TimeoutExpired:
             why = f"timed out after {probe_timeout_s:.0f}s"
         if time.monotonic() >= deadline:
             raise RuntimeError(
-                f"device backend unavailable after {max_wait_s:.0f}s ({attempt} probes) — "
-                "axon tunnel down? (CLAUDE.md environment gotchas)"
+                f"device backend unavailable after {max_wait_s:.0f}s ({attempt} probes; "
+                f"last: {why}) — axon tunnel down? (CLAUDE.md environment gotchas)"
             )
         print(f"backend probe {attempt} {why}; retrying...", flush=True)
         time.sleep(30.0)

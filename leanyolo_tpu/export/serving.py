@@ -207,7 +207,7 @@ def export_serving_bucketed(
     `<name>_<decode>_<size>.stablehlo(.json)` per bucket plus a
     `manifest.json`; returns the manifest path. Serve via BucketedServing.
     """
-    sizes = sorted(int(s) for s in sizes)
+    sizes = sorted({int(s) for s in sizes})
     if any(s % 32 for s in sizes):
         raise ValueError(f"bucket sizes must be stride-32 divisible: {sizes}")
     prefolded = False

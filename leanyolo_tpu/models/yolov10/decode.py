@@ -397,15 +397,13 @@ def postprocess_to_original(dets, num, metas, *, decode: str, conf_thresh: float
 
     from ...ops.boxes import unletterbox_coords
 
-    dets = np.asarray(dets)
-    num = np.asarray(num)
+    selected = detections_to_list(
+        dets,
+        num_dets=None if decode == "topk" else num,
+        conf_thresh=conf_thresh if (decode == "topk" and apply_conf_filter) else 0.0,
+    )
     out = []
-    for i, (gain, pad, orig_hw) in enumerate(metas):
-        d = dets[i]
-        if decode == "topk":
-            d = d[d[:, 4] > conf_thresh] if apply_conf_filter else d
-        else:
-            d = d[: int(num[i])]
+    for d, (gain, pad, orig_hw) in zip(selected, metas):
         if len(d):
             boxes = np.asarray(unletterbox_coords(jnp.asarray(d[:, :4]), gain, pad, orig_hw))
             d = np.concatenate([boxes, d[:, 4:6]], axis=1)

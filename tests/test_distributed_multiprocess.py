@@ -248,8 +248,9 @@ def test_two_process_distributed_transfer_cli(tmp_path):
     assert "UNFREEZE" in log0 or "UNFREEZE" in outs[0][0] + outs[0][1]
     assert (out0 / "ckpt.npz").exists()
     assert not (out1 / "ckpt.npz").exists()
-    # viz snapshots: written by process 0 only, from epoch 2 on (the local
-    # eval predictor exists only after the first proc0_local_eval)
+    # viz snapshots: written by process 0 only, starting in epoch 1 (the
+    # viz path lazily creates the proc-0-local eval predictor on the first
+    # snapshot, so it no longer waits for the first per-epoch eval)
     viz0 = list((out0 / "viz").glob("step*.jpg")) if (out0 / "viz").exists() else []
     assert viz0, "distributed --viz-interval produced no snapshots on process 0"
     assert not (out1 / "viz").exists()

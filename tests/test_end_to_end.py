@@ -135,6 +135,41 @@ def test_infer_cli_synthetic(tmp_path, monkeypatch, capsys):
     assert "saved:" in capsys.readouterr().out
 
 
+def test_transfer_cli_viz_interval(tmp_path, monkeypatch):
+    """Single-process transfer run with --viz-interval: a snapshot per step,
+    filtered at --viz-conf (its own knob — eval-conf stays at the mAP
+    convention 0.001 while viz defaults to the reference's 0.25)."""
+    img_dir, ann = make_synth_coco(str(tmp_path), n_images=4)
+    out_dir = tmp_path / "run"
+    argv = [
+        "transfer_learn.py",
+        "--model", "yolov10n",
+        "--weights", "none",
+        "--train-images", img_dir,
+        "--train-ann", ann,
+        "--val-images", img_dir,
+        "--val-ann", ann,
+        "--imgsz", "64",
+        "--epochs", "1",
+        "--batch-size", "2",
+        "--max-boxes", "8",
+        "--workers", "2",
+        "--no-amp",
+        "--viz-interval", "1",
+        "--viz-conf", "0.25",
+        "--out-dir", str(out_dir),
+    ]
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    monkeypatch.setattr(sys, "argv", argv)
+    import importlib
+
+    mod = importlib.import_module("transfer_learn")
+    mod.main()
+    assert (out_dir / "ckpt.npz").exists()
+    viz = sorted((out_dir / "viz").glob("step*.jpg"))
+    assert len(viz) == 2, f"expected one snapshot per step (2), got {[p.name for p in viz]}"
+
+
 def test_measure_fps_chained_protocol():
     """measure_fps must return a finite positive rate from ONE chained jitted
     program (bench.py protocol — no per-iteration block_until_ready)."""

@@ -59,7 +59,12 @@ def main() -> None:
     if args.sizes:
         from leanyolo_tpu.export.serving import BucketedServing, export_serving_bucketed
 
-        sizes = [int(s) for s in args.sizes.split(",")]
+        sizes = sorted({int(s) for s in args.sizes.split(",")})
+        if args.imgsz not in sizes:
+            print(
+                f"note: --sizes {args.sizes} overrides --imgsz; {args.imgsz} is NOT "
+                f"among the exported buckets (add it to --sizes if you want it served)"
+            )
         out = args.out or f"runs/export/{args.model}_{args.decode}_bucketed"
         mpath = export_serving_bucketed(
             model, out, sizes=sizes, decode=args.decode, max_dets=args.max_dets,

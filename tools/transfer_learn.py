@@ -57,6 +57,12 @@ def parse_args() -> argparse.Namespace:
         "and save an annotated snapshot to <out-dir>/viz (reference "
         "transfer_learn_aquarium.py:474-484; 0 = off)",
     )
+    p.add_argument(
+        "--viz-conf", type=float, default=0.25,
+        help="score threshold for train-viz snapshots (reference filters viz at "
+        "its eval-conf default 0.25; ours defaults eval-conf to the mAP "
+        "convention 0.001, so viz gets its own knob)",
+    )
     p.add_argument("--data-parallel", action="store_true")
     from leanyolo_tpu.parallel.distributed import add_distributed_args
 
@@ -192,6 +198,7 @@ def main() -> None:
     def save_train_viz(batch) -> None:
         """Decode the CURRENT weights on the first image of the batch and save
         an annotated snapshot (reference transfer_learn_aquarium.py:474-484)."""
+        nonlocal eval_predictor
         import cv2
         import numpy as np
 
@@ -199,17 +206,21 @@ def main() -> None:
 
         from leanyolo_tpu.utils.viz import draw_detections
 
-        params = model.params
         if args.distributed and nprocs > 1:
             # The trainer's params are GLOBAL arrays committed across all
-            # processes' devices — not fully addressable here. Host-copy
-            # before staging into the process-0 local predictor (same move
-            # as proc0_local_eval).
-            params = jax.tree.map(lambda x: np.asarray(x), params)
-        eval_predictor.update_params(params)
+            # processes' devices — not fully addressable here. proc0_local_eval
+            # host-copies them into a purely LOCAL predictor (creating it on
+            # the first snapshot, so viz works even before the first eval).
+            from leanyolo_tpu.parallel.distributed import proc0_local_eval
+
+            _, eval_predictor = proc0_local_eval(
+                model, eval_predictor, imgsz=args.imgsz, conf_thresh=args.eval_conf
+            )
+        else:
+            eval_predictor.update_params(model.params)
         dets, _ = eval_predictor.run_batch(jnp.asarray(batch.images[:1]))
         d = np.asarray(dets)[0]
-        d = d[d[:, 4] > args.eval_conf]
+        d = d[d[:, 4] > args.viz_conf]
         viz_dir = out_dir / "viz"
         viz_dir.mkdir(parents=True, exist_ok=True)
         bgr = cv2.cvtColor(np.asarray(batch.images[0], np.uint8), cv2.COLOR_RGB2BGR)
@@ -230,7 +241,6 @@ def main() -> None:
             nb += 1
             if (
                 args.viz_interval
-                and eval_predictor is not None
                 and pid == 0
                 and trainer.global_step % args.viz_interval == 0
             ):
