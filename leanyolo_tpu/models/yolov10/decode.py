@@ -393,10 +393,6 @@ def postprocess_to_original(dets, num, metas, *, decode: str, conf_thresh: float
     """
     import numpy as np
 
-    import jax.numpy as jnp
-
-    from ...ops.boxes import unletterbox_coords
-
     selected = detections_to_list(
         dets,
         num_dets=None if decode == "topk" else num,
@@ -405,7 +401,14 @@ def postprocess_to_original(dets, num, metas, *, decode: str, conf_thresh: float
     out = []
     for d, (gain, pad, orig_hw) in zip(selected, metas):
         if len(d):
-            boxes = np.asarray(unletterbox_coords(jnp.asarray(d[:, :4]), gain, pad, orig_hw))
-            d = np.concatenate([boxes, d[:, 4:6]], axis=1)
+            # Host numpy (NOT eager jnp): per-image [Ni,4] math would
+            # otherwise dispatch ~8 tiny device ops + transfers per image
+            # through the tunnel. Same formulas as ops.boxes.
+            # unletterbox_coords (parity: leanyolo/utils/box_ops.py:96-124).
+            (gw, gh), (px, py), (h, w) = gain, pad, orig_hw
+            b = d[:, :4].astype(np.float32, copy=True)
+            b[:, 0::2] = ((b[:, 0::2] - px) / gw).clip(0, w)
+            b[:, 1::2] = ((b[:, 1::2] - py) / gh).clip(0, h)
+            d = np.concatenate([b, d[:, 4:6]], axis=1)
         out.append(d)
     return out
