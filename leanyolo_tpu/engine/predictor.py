@@ -196,6 +196,16 @@ class Predictor:
         """Refresh weights, keeping the compiled program: stages `params` on
         device with this predictor's sharding (per-epoch eval, distributed
         weight refresh). The caller's pytree is not mutated."""
+        if not self._normalize:
+            # The compiled program was built for FOLDED params (fuse=True:
+            # normalization lives in conv0, BN is pre-multiplied into convs).
+            # Staging ordinary unfolded weights would silently skip
+            # normalization and double-count BN. fold_params is idempotent
+            # (tests/test_fold.py), so already-folded input passes through
+            # bit-identically.
+            from ..models.yolov10.fold import fold_params
+
+            params = fold_params(params)
         if self._param_sharding is None:
             self._params = jax.device_put(params)
         else:
@@ -237,8 +247,7 @@ class Predictor:
         if preprocess == "device":
             from ..ops.letterbox import canvas_batch
 
-            canvas, new_hw, pads, hw, cmetas = canvas_batch(images_rgb, self.imgsz)
-            metas = [(gain, pad, orig_hw) for gain, pad, orig_hw in cmetas]
+            canvas, new_hw, pads, hw, metas = canvas_batch(images_rgb, self.imgsz)
             dets, num = self.run_canvas(canvas, jnp.asarray(new_hw), jnp.asarray(pads), jnp.asarray(hw))
         else:
             lbs, metas = [], []

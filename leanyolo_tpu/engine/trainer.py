@@ -236,6 +236,29 @@ class Trainer:
                 lambda lbl, g: g * bb_scale if lbl == "backbone" else g, self.labels, grads
             )
             updates, opt_state = tx.update(grads, opt_state, params)
+            if cfg.freeze_backbone:
+                # The backbone group's moments stay zero while frozen (grads
+                # are zeroed above), but scale_by_adam still increments its
+                # bias-correction count — at unfreeze the stale count makes
+                # mu_hat ~(1-b1)g instead of ~g, a ~3x oversized first update.
+                # Rewind the count on frozen steps so unfreeze starts at 0,
+                # matching torch's requires_grad freeze (fresh per-param
+                # step). The lr-schedule count is NOT rewound: the reference
+                # steps its scheduler globally, so the backbone joins at the
+                # current schedule position.
+                def _rewind(s):
+                    if isinstance(s, optax.ScaleByAdamState):
+                        return s._replace(count=jnp.where(bb_scale > 0, s.count, s.count - 1))
+                    return s
+
+                bb_state = jax.tree_util.tree_map(
+                    _rewind,
+                    opt_state.inner_states["backbone"],
+                    is_leaf=lambda z: isinstance(z, optax.ScaleByAdamState),
+                )
+                opt_state = opt_state._replace(
+                    inner_states={**opt_state.inner_states, "backbone": bb_state}
+                )
             updates = jax.tree_util.tree_map(
                 lambda lbl, u: u * bb_scale if lbl == "backbone" else u, self.labels, updates
             )
@@ -338,7 +361,11 @@ class Trainer:
                 arr = z[f"opt_{i}"]
                 if tuple(arr.shape) != tuple(np.shape(old)):
                     raise ValueError(f"opt state leaf {i}: shape {arr.shape} != {np.shape(old)}")
-                new.append(jnp.asarray(arr, dtype=np.asarray(old).dtype))
+                # .dtype reads device-array metadata; np.asarray(old) here
+                # would pull every moment leaf (~2x model size) host-side
+                # through the tunnel just to ask its dtype.
+                old_dtype = old.dtype if hasattr(old, "dtype") else np.asarray(old).dtype
+                new.append(jnp.asarray(arr, dtype=old_dtype))
             self.global_step = int(z["global_step"])
         self.opt_state = jax.tree_util.tree_unflatten(treedef, new)
         if self.mesh is not None:

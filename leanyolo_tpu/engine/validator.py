@@ -128,8 +128,11 @@ def _save_viz_batch(batch, dets, num, ds, *, decode, viz_dir, conf, name_mode, s
             name = f"{m['image_id']}.jpg"
         elif name_mode == "index":
             name = f"{idx:06d}.jpg"
-        else:  # 'file': the original file name
-            info = next((im for im in ds.images if im["id"] == m["image_id"]), None)
+        else:  # 'file': the original file name (id->info dict built once —
+            # a per-image linear scan over ds.images is O(N*M) per epoch)
+            if not hasattr(ds, "_viz_by_id"):
+                ds._viz_by_id = {im["id"]: im for im in ds.images}
+            info = ds._viz_by_id.get(m["image_id"])
             name = os.path.basename(info["file_name"]) if info else f"{idx:06d}.jpg"
         cv2.imwrite(os.path.join(viz_dir, name), out)
         idx += 1
@@ -266,8 +269,18 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
     from ..ops.letterbox import canvas_batch, choose_bucket
 
     longest = 1
+    missing = [im for im in ds.images if not (im.get("height") and im.get("width"))]
+    if missing:
+        # Fail fast: a too-small canvas would otherwise surface minutes later
+        # as a misleading "image exceeds canvas" crash mid-validation.
+        raise ValueError(
+            f"device preprocessing sizes the canvas from the annotations, but "
+            f"{len(missing)} image entries lack height/width (first: "
+            f"{missing[0].get('file_name', missing[0].get('id'))}); use "
+            f"preprocess='host' or fix the annotation json"
+        )
     for im in ds.images:
-        longest = max(longest, int(im.get("height") or 1), int(im.get("width") or 1))
+        longest = max(longest, int(im["height"]), int(im["width"]))
     canvas_size = max(ds.img_size, choose_bucket((longest, longest)))
 
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:

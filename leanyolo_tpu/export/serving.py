@@ -88,6 +88,10 @@ def build_serving_fn(
             sel_scores = jnp.take_along_axis(best_scores, top_idx, axis=1)
             sel_cls = jnp.take_along_axis(best_cls, top_idx, axis=1)
             sel_boxes = jnp.clip(sel_boxes, 0.0, float(imgsz))
+            # Parity note: like the reference wrapper (export.py:135,142),
+            # scores are gathered UNMASKED — rows beyond num_dets carry real
+            # sub-conf scores and clients must honor num_dets. The clamp
+            # mirrors the reference's (equally inert for sigmoid scores).
             sel_scores = jnp.maximum(sel_scores, 0.0)
             dets = jnp.concatenate([sel_boxes, sel_scores[..., None], sel_cls[..., None]], axis=-1)
             if k < max_dets:
@@ -107,7 +111,12 @@ def build_serving_fn(
             conf_thresh=conf,
             max_det=max_dets,
             class_wise=True,
-            group_offset=float(imgsz) * 10.0 * nc,
+            # Same per-class offset as the in-framework decode_nms
+            # (decode.py:300): it only needs to exceed the coordinate range
+            # (imgsz <= 8192), and keeping the offset small keeps float32
+            # precise — at the old imgsz*10*nc scaling, class-79 boxes sat
+            # near 4e7 where f32 ulp is 4 px, quantizing the NMS IoU math.
+            group_offset=8192.0 * 10.0,
         )
         dets, num = jax.vmap(nms)(cand_boxes, cand_scores, cand_cls)
         dets = dets.at[..., :4].set(jnp.clip(dets[..., :4], 0.0, float(imgsz)))

@@ -117,7 +117,9 @@ def letterbox_batch_jax(canvas, new_hw, pads, hw, target: int, *, pad_value: flo
     letterbox.py:9-91 is the behavioral spec, with cv2's half-pixel centers).
 
     Args:
-        canvas: [B, Hc, Wc, 3] float32, image i occupying [:h_i, :w_i].
+        canvas: [B, Hc, Wc, 3] uint8 or float32, image i occupying
+            [:h_i, :w_i] (uint8 preferred — raw pixels are u8-exact and the
+            host->device transfer is 4x smaller; cast to f32 here on device).
         new_hw: [B, 2] int32 scaled (new_h, new_w) per image.
         pads:   [B, 2] int32 (pad_left, pad_top) per image.
         hw:     [B, 2] int32 true original (h, w) per image.
@@ -127,6 +129,8 @@ def letterbox_batch_jax(canvas, new_hw, pads, hw, target: int, *, pad_value: flo
     """
     import jax
     import jax.numpy as jnp
+
+    canvas = canvas.astype(jnp.float32)
 
     def one(img, nhw, pad, true_hw):
         h, w = true_hw[0], true_hw[1]
@@ -157,15 +161,18 @@ def canvas_batch(images, target: int, *, canvas_size: Optional[int] = None, scal
     """Host prep for `letterbox_batch_jax`: paste images onto a fixed canvas.
 
     A pure memcpy per image (no host resize/interpolation — that moves to the
-    device warp). Returns (canvas [B, C, C, 3] f32, new_hw [B,2] i32,
-    pads [B,2] i32, hw [B,2] i32, metas) where metas carry the same
-    (gain, pad) contract as the host `letterbox` for unletterboxing.
+    device warp). Returns (canvas [B, C, C, 3] uint8 — raw pixels are exact
+    in u8 and ship 4x fewer host->device bytes than f32; the device warp
+    casts — new_hw [B,2] i32, pads [B,2] i32, hw [B,2] i32, metas) where
+    metas carry the same (gain, pad) contract as the host `letterbox` for
+    unletterboxing. Float input images fall back to an f32 canvas.
     """
     if canvas_size is None:
         longest = max(max(int(im.shape[0]), int(im.shape[1])) for im in images)
         canvas_size = max(target, choose_bucket((longest, longest)))
     b = len(images)
-    canvas = np.zeros((b, canvas_size, canvas_size, 3), np.float32)
+    cdt = np.uint8 if all(np.asarray(im).dtype == np.uint8 for im in images) else np.float32
+    canvas = np.zeros((b, canvas_size, canvas_size, 3), cdt)
     new_hw = np.zeros((b, 2), np.int32)
     pads = np.zeros((b, 2), np.int32)
     hw = np.zeros((b, 2), np.int32)

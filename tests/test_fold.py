@@ -67,3 +67,35 @@ def test_fold_idempotent():
     assert t1 == t2
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_predictor_update_params_refolds():
+    """update_params on a fuse=True predictor must accept ORDINARY unfolded
+    weights: the compiled program skips normalization and expects BN folded
+    into convs, so staging raw params verbatim would silently produce garbage.
+    The predictor re-folds on update (idempotent for already-folded input)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    m1 = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    m2 = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=7)
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (1, 64, 64, 3), np.uint8)
+    )
+
+    fused = Predictor(m1, imgsz=64, decode="topk", fuse=True, donate=False)
+    ref = Predictor(m2, imgsz=64, decode="topk", fuse=True, donate=False)
+    want, _ = ref.run_batch(x)
+
+    # Hot-swap m2's UNFOLDED weights into the fused predictor.
+    fused.update_params(m2.params)
+    got, _ = fused.run_batch(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    # Already-folded input passes through bit-identically (idempotence).
+    fused.update_params(ref.params)
+    got2, _ = fused.run_batch(x)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))

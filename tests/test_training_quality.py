@@ -153,10 +153,31 @@ def test_frozen_backbone_keeps_moments_cold():
     for leaf in moment_leaves:
         assert np.all(leaf == 0.0)
 
-    # After the unfreeze epoch the backbone must move again.
+    # The backbone Adam bias-correction count must NOT advance while frozen:
+    # a stale count at unfreeze makes mu_hat ~(1-b1)g instead of ~g (a ~3x
+    # oversized first live update vs torch's fresh per-param step).
+    import optax
+
+    def bb_adam_count(opt_state):
+        counts = [
+            int(s.count)
+            for s in jax.tree_util.tree_leaves(
+                opt_state.inner_states["backbone"],
+                is_leaf=lambda z: isinstance(z, optax.ScaleByAdamState),
+            )
+            if isinstance(s, optax.ScaleByAdamState)
+        ]
+        assert len(counts) == 1
+        return counts[0]
+
+    assert bb_adam_count(tr.opt_state) == 0, "count advanced during freeze"
+
+    # After the unfreeze epoch the backbone must move again, and the count
+    # starts from a fresh 0 -> 1.
     tr.train_step(batch, jax.random.PRNGKey(2))  # epoch 2: unfrozen
     w0_after = np.asarray(tr.model.params["backbone"]["cv0"]["conv"]["w"])
     assert np.abs(w0_after - w0_before).max() > 0
+    assert bb_adam_count(tr.opt_state) == 1
 
 
 def test_augment_batch_rejects_uint8_without_dtype():
