@@ -195,29 +195,49 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that keeps polling the stop flag: an abandoned
+            consumer (early break, exception in the train loop) would
+            otherwise leave this thread parked forever on a full queue,
+            leaking the pool and the decoded batches it holds."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                for chunk in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.ds.__getitem__, chunk))
-                    n_pad = self.batch_size - len(items)
-                    if n_pad > 0:
-                        pad_img = items[0][0]
-                        empty = {
-                            "boxes": np.zeros((0, 4), np.float32),
-                            "labels": np.zeros((0,), np.int32),
-                            "image_id": -1,
-                            "orig_hw": (None, None),
-                            "gain": (1.0, 1.0),
-                            "pad": (0, 0),
-                        }
-                        items += [(pad_img, empty)] * n_pad
-                    batch = collate(items, self.max_boxes)
-                    for j in range(self.batch_size - n_pad, self.batch_size):
-                        batch.meta[j] = None
-                    q.put(batch)
-            q.put(None)
+            # Any decode error (missing/corrupt file) is shipped to the
+            # consumer and re-raised there: a silently dead producer would
+            # leave the training loop blocked on q.get() forever.
+            try:
+                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                    for chunk in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.ds.__getitem__, chunk))
+                        n_pad = self.batch_size - len(items)
+                        if n_pad > 0:
+                            pad_img = items[0][0]
+                            empty = {
+                                "boxes": np.zeros((0, 4), np.float32),
+                                "labels": np.zeros((0,), np.int32),
+                                "image_id": -1,
+                                "orig_hw": (None, None),
+                                "gain": (1.0, 1.0),
+                                "pad": (0, 0),
+                            }
+                            items += [(pad_img, empty)] * n_pad
+                        batch = collate(items, self.max_boxes)
+                        for j in range(self.batch_size - n_pad, self.batch_size):
+                            batch.meta[j] = None
+                        if not put_or_stop(batch):
+                            return
+                put_or_stop(None)
+            except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+                put_or_stop(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -226,6 +246,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -281,7 +281,12 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
         )
     for im in ds.images:
         longest = max(longest, int(im["height"]), int(im["width"]))
-    canvas_size = max(ds.img_size, choose_bucket((longest, longest)))
+    # Like canvas_batch's default sizing, the canvas must FIT the largest raw
+    # image (the device warp downscales); choose_bucket alone caps at its
+    # max_size and would crash on >1280px datasets.
+    canvas_size = max(
+        ds.img_size, choose_bucket((longest, longest)), (longest + 255) // 256 * 256
+    )
 
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         for s in range(0, len(ds), batch_size):

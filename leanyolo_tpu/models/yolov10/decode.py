@@ -371,11 +371,12 @@ def detections_to_list(dets, num_dets=None, conf_thresh: float = 0.0) -> List:
     import numpy as np
 
     dets = np.asarray(dets)
+    num_dets = None if num_dets is None else np.asarray(num_dets)  # ONE d2h transfer
     out = []
     for i in range(dets.shape[0]):
         d = dets[i]
         if num_dets is not None:
-            d = d[: int(np.asarray(num_dets)[i])]
+            d = d[: int(num_dets[i])]
         if conf_thresh > 0:
             d = d[d[:, 4] > conf_thresh]
         out.append(d)

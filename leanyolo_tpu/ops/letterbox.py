@@ -130,8 +130,6 @@ def letterbox_batch_jax(canvas, new_hw, pads, hw, target: int, *, pad_value: flo
     import jax
     import jax.numpy as jnp
 
-    canvas = canvas.astype(jnp.float32)
-
     def one(img, nhw, pad, true_hw):
         h, w = true_hw[0], true_hw[1]
         new_h, new_w = nhw[0], nhw[1]
@@ -169,7 +167,12 @@ def canvas_batch(images, target: int, *, canvas_size: Optional[int] = None, scal
     """
     if canvas_size is None:
         longest = max(max(int(im.shape[0]), int(im.shape[1])) for im in images)
-        canvas_size = max(target, choose_bucket((longest, longest)))
+        # The canvas must FIT the raw image (the device warp then downscales
+        # to `target`), so it cannot be capped at choose_bucket's max_size —
+        # a 2000px image on a 1280 canvas would be a hard error, where the
+        # host path simply downscales. Past-the-buckets sizes round up to a
+        # coarse 256 step so mixed oversize batches share few compiles.
+        canvas_size = max(target, choose_bucket((longest, longest)), (longest + 255) // 256 * 256)
     b = len(images)
     cdt = np.uint8 if all(np.asarray(im).dtype == np.uint8 for im in images) else np.float32
     canvas = np.zeros((b, canvas_size, canvas_size, 3), cdt)

@@ -71,37 +71,58 @@ class CocoEvaluator:
                 }
             )
         self._dt = defaultdict(list)
+        self._cache: Dict[tuple, tuple] = {}
 
     def add_detections(self, results: Sequence[dict]) -> None:
         """results: COCO result dicts {image_id, category_id, bbox xywh, score}."""
+        self._cache.clear()  # cached score-sorts/IoUs are stale once dets change
         for r in results:
             self._dt[(r["image_id"], r["category_id"])].append(
                 {"bbox": np.asarray(r["bbox"], np.float64), "score": float(r["score"])}
             )
 
+    def _img_cat_base(self, img_id: int, cat_id: int) -> Optional[tuple]:
+        """Area-independent work per (image, category), computed ONCE: the
+        score sort, box stacks, crowd flags and the [D, G] IoU matrix are
+        identical across the four area ranges — pycocotools likewise computes
+        computeIoU once per (img, cat) and reuses it (a 4x eval-time cut on
+        this single-core host)."""
+        key = (img_id, cat_id)
+        cached = self._cache.get(key)
+        if cached is None:
+            gts = self._gt.get(key, [])
+            dts = sorted(self._dt.get(key, []), key=lambda d: -d["score"])[: self.max_dets]
+            if not gts and not dts:
+                return None
+            d_boxes = np.stack([d["bbox"] for d in dts]) if dts else np.zeros((0, 4))
+            g_boxes = np.stack([g["bbox"] for g in gts]) if gts else np.zeros((0, 4))
+            g_crowd = np.array([g["iscrowd"] for g in gts], dtype=bool)
+            ious = _iou_xywh(d_boxes, g_boxes, g_crowd)  # crowd rule is per-GT: order-independent
+            scores = np.array([d["score"] for d in dts])
+            d_area = d_boxes[:, 2] * d_boxes[:, 3]
+            g_area = np.array([g["area"] for g in gts], np.float64)
+            cached = (scores, d_area, g_area, g_crowd, ious)
+            self._cache[key] = cached
+        return cached
+
     def _evaluate_img(self, img_id: int, cat_id: int, area_rng) -> Optional[dict]:
-        gts = self._gt.get((img_id, cat_id), [])
-        dts = sorted(self._dt.get((img_id, cat_id), []), key=lambda d: -d["score"])[: self.max_dets]
-        if not gts and not dts:
+        base = self._img_cat_base(img_id, cat_id)
+        if base is None:
             return None
+        scores, d_area, g_area, g_crowd, ious = base
 
         # pycocotools area gating is inclusive at BOTH ends: ignore iff
         # area < rng[0] or area > rng[1] (cocoeval.evaluateImg), so a GT of
         # exactly 32^2 px counts as both 'small' and 'medium'.
-        g_ignore = np.array(
-            [g["iscrowd"] or g["area"] < area_rng[0] or g["area"] > area_rng[1] for g in gts], dtype=bool
-        )
-        # Non-ignored GTs first (pycocotools sorts by the ignore flag).
+        g_ignore = g_crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
+        # Non-ignored GTs first (pycocotools sorts by the ignore flag); the
+        # cached IoU matrix reorders by column permutation.
         g_order = np.argsort(g_ignore, kind="stable")
-        gts = [gts[i] for i in g_order]
         g_ignore = g_ignore[g_order]
-        g_crowd = np.array([g["iscrowd"] for g in gts], dtype=bool)
+        g_crowd = g_crowd[g_order]
+        ious = ious[:, g_order]
 
-        d_boxes = np.stack([d["bbox"] for d in dts]) if dts else np.zeros((0, 4))
-        g_boxes = np.stack([g["bbox"] for g in gts]) if gts else np.zeros((0, 4))
-        ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
-
-        T, D, G = len(IOU_THRS), len(dts), len(gts)
+        T, D, G = len(IOU_THRS), len(scores), len(g_order)
         dt_m = np.zeros((T, D), dtype=np.int64)  # matched gt index + 1 (0 = none)
         dt_ig = np.zeros((T, D), dtype=bool)
         gt_m = np.zeros((T, G), dtype=np.int64)
@@ -126,12 +147,11 @@ class CocoEvaluator:
                 gt_m[ti, best_g] = di + 1
 
         # Unmatched dets outside the area range are ignored.
-        d_area = d_boxes[:, 2] * d_boxes[:, 3]
         d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ig = dt_ig | ((dt_m == 0) & d_out[None])
 
         return {
-            "scores": np.array([d["score"] for d in dts]),
+            "scores": scores,
             "dt_matched": dt_m,
             "dt_ignore": dt_ig,
             "num_gt": int((~g_ignore).sum()),

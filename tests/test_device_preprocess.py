@@ -108,3 +108,21 @@ def test_predict_images_device_preprocess():
         # Boxes in original coords; random-weight logits shift slightly with
         # LSB pixel changes, so compare scores loosely and shapes strictly.
         np.testing.assert_allclose(dh[:, 4], dd[:, 4], atol=5e-3)
+
+
+def test_canvas_batch_fits_oversize_images():
+    """Images larger than choose_bucket's max_size must still fit the canvas
+    (the device warp downscales like the host path) instead of raising
+    'exceeds canvas'; oversize canvases round to a coarse 256 step."""
+    from leanyolo_tpu.ops.letterbox import canvas_batch, choose_bucket, letterbox, letterbox_batch_jax
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(4)
+    big = rng.randint(0, 255, (1400, 900, 3), np.uint8)
+    assert choose_bucket((1400, 1400)) < 1400  # the old cap that crashed
+    canvas, new_hw, pads, hw, _ = canvas_batch([big], 64)
+    assert canvas.shape[1] >= 1400 and canvas.shape[1] % 256 == 0
+    out = letterbox_batch_jax(canvas, jnp.asarray(new_hw), jnp.asarray(pads), jnp.asarray(hw), 64)
+    want, _, _ = letterbox(big, 64)
+    assert np.abs(np.asarray(out)[0] - want.astype(np.float32)).max() <= 2.0

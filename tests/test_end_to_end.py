@@ -181,3 +181,44 @@ def test_measure_fps_chained_protocol():
     pred = Predictor(model, imgsz=64, decode="topk", donate=False)
     fps = measure_fps(pred, batch_size=2, warmup=1, iters=3)
     assert np.isfinite(fps) and fps > 0
+
+
+def test_dataloader_propagates_decode_errors(tmp_path):
+    """A decode failure (missing/corrupt file) must raise in the CONSUMER,
+    not kill the producer thread silently and hang the train loop on q.get."""
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu.data.dataset import CocoDetection, DataLoader
+
+    img_dir, ann = make_synth_coco(str(tmp_path), n_images=4)
+    ds = CocoDetection(img_dir, ann, img_size=64)
+    # Remove an image file AFTER indexing so only decode fails.
+    victim = os.path.join(img_dir, sorted(os.listdir(img_dir))[2])
+    os.remove(victim)
+    loader = DataLoader(ds, batch_size=2, workers=2, shuffle=False)
+    with pytest.raises(Exception) as ei:
+        for _ in loader:
+            pass
+    assert not isinstance(ei.value, TimeoutError)
+
+
+def test_dataloader_abandoned_iterator_does_not_leak_producer(tmp_path):
+    """Breaking out of the batch loop early must let the producer exit (it
+    would otherwise park forever on q.put with a full prefetch queue)."""
+    import threading
+    import time as _time
+
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu.data.dataset import CocoDetection, DataLoader
+
+    img_dir, ann = make_synth_coco(str(tmp_path), n_images=4)
+    ds = CocoDetection(img_dir, ann, img_size=64)
+    loader = DataLoader(ds, batch_size=1, workers=2, shuffle=False, prefetch=1)
+    before = threading.active_count()
+    for _ in loader:
+        break  # abandon mid-epoch
+    deadline = _time.time() + 10.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before, "producer thread leaked"

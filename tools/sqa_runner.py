@@ -100,7 +100,11 @@ def main() -> None:
     p.add_argument("--agent-cmd", default=None, help="agent CLI for --mode agent")
     p.add_argument("--ids", default=None, help="comma-separated test-id filter")
     p.add_argument("--failed-missing", action="store_true", help="rerun only failed/missing tests")
-    p.add_argument("--timeout", type=int, default=3600)
+    p.add_argument(
+        "--timeout", type=int, default=3600,
+        help="PER-STEP timeout in shell mode (a k-step test may run up to "
+        "k*timeout wall-clock); whole-run timeout in agent mode",
+    )
     args = p.parse_args()
 
     plan = load_plan(args.plan)
@@ -136,9 +140,12 @@ def main() -> None:
                 status, dur = run_agent(test, env, workdir, log_path, args.agent_cmd, args.timeout)
             else:
                 status, dur = run_shell(test, env, workdir, log_path, args.timeout)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as te:
             status, dur = "FAILED", float(args.timeout)
-            log_path.write_text("[timeout]\n", encoding="utf-8")
+            # APPEND the marker — overwriting would destroy the captured
+            # step output, the one artifact that shows which step hung.
+            with open(log_path, "a", encoding="utf-8") as lf:
+                lf.write(f"\n[timeout after {args.timeout}s on: {te.cmd}]\n")
         (tdir / "status.txt").write_text(status, encoding="utf-8")
         meta = {"id": test["id"], "name": test.get("name", ""), "status": status, "seconds": round(dur, 1)}
         (tdir / "meta.json").write_text(json.dumps(meta), encoding="utf-8")
