@@ -45,7 +45,6 @@ def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 12
         gl = jax.device_put(rng.randint(0, 80, (bs, nboxes)).astype(np.int32))
         gb = jax.device_put(np.stack([x1, y1, x1 + wh[0], y1 + wh[1]], axis=-1))
         gm = jax.device_put(rng.uniform(size=(bs, nboxes)) < 0.4)
-        bb_scale = jnp.asarray(1.0, jnp.float32)
 
         step_raw = tr._step_raw
 
@@ -54,7 +53,7 @@ def bench_train(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 12
             def body(i, carry):
                 params, opt_state, _ = carry
                 k = jax.random.fold_in(key, i)
-                return step_raw(params, opt_state, images, gl, gb, gm, k, bb_scale)
+                return step_raw(params, opt_state, images, gl, gb, gm, k)
 
             params, opt_state, losses = jax.lax.fori_loop(
                 0, n, body, (params, opt_state, {"total": jnp.zeros(()), "cls": jnp.zeros(()), "reg": jnp.zeros(())})
@@ -85,7 +84,7 @@ def main() -> None:
     p.add_argument("--batch-sizes", default="32,128")
     p.add_argument("--nboxes", type=int, default=24)
     p.add_argument("--remat", choices=["none", "full"], default="none",
-                   help="jax.checkpoint the forward (measured 15% slower at bs128; see PERF.md)")
+                   help="jax.checkpoint the forward (measured 15%% slower at bs128; see PERF.md)")
     args = p.parse_args()
 
     from bench import wait_for_backend

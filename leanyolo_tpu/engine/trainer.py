@@ -7,9 +7,12 @@ LambdaLR 427-435, AMP 436/450-461, grad-clip 1.0, in-graph augmentations
 326-353, gradual unfreeze 487-491).
 
 Design notes:
-- one jitted train step for the whole run: freezing is a traced 0/1 flag that
-  multiplies backbone/neck updates, so gradual unfreeze does NOT retrace and
-  optimizer moments live from step 0 (matching torch AdamW param groups);
+- one jitted train step PER FREEZE PHASE (at most two per run): the frozen
+  program stop-gradients backbone/neck params, so XLA never compiles their
+  backward convs — the same work-skipping torch gets from
+  requires_grad=False — while producing bit-identical state to computing
+  those grads and zeroing them (grads of stopped leaves are exact zeros,
+  AdamW moments stay cold, updates are zeroed after the optimizer);
 - BN running stats ride along as grad aux and merge after the optimizer step;
 - mixed precision = bf16 activations with fp32 params/grads (the TPU analog
   of the reference's CUDA AMP), selected per-step via a static flag;
@@ -174,10 +177,16 @@ class Trainer:
 
             model.params = shard_params(mesh, model.params)
         self.opt_state = self.tx.init(model.params)
-        self._step = self._build_step()
+        # One compiled program per freeze phase (at most two per run): the
+        # frozen program stop-gradients backbone/neck params so XLA never
+        # emits their backward convs at all — torch's requires_grad=False
+        # skips that work too, while a traced 0/1 flag must compute full
+        # grads and then zero them.
+        self._steps: Dict[bool, Callable] = {}
+        self._step_raw = self._build_step(False, jit=False)
         self.global_step = 0
 
-    def _build_step(self):
+    def _build_step(self, frozen: bool, *, jit: bool = True):
         model_cfg = self.model.cfg
         nc = self.model.nc
         cfg = self.cfg
@@ -198,6 +207,17 @@ class Trainer:
             raise ValueError(f"unknown remat mode {cfg.remat!r} (use 'none' or 'full')")
 
         def loss_fn(params, images, gt_labels, gt_boxes, gt_mask):
+            if frozen:
+                # Sever the gradient path at the frozen params: their grads
+                # come back as exact zeros WITHOUT the backbone/neck backward
+                # ever being compiled (stop_gradient transposes to symbolic
+                # zero, so XLA DCEs the dead dconv work). Numerically
+                # identical to computing the grads and multiplying by 0.
+                params = jax.tree_util.tree_map(
+                    lambda lbl, p: jax.lax.stop_gradient(p) if lbl == "backbone" else p,
+                    self.labels,
+                    params,
+                )
             raw, bn_stats = fwd(params, images)
             # Per-level (reg, cls) tuples: the 144-channel per-level concat +
             # global [B, A, 144] concat + f32 upcast of the packed form
@@ -211,7 +231,7 @@ class Trainer:
             losses = detection_loss_v10(raw, gt_labels, gt_boxes, gt_mask, num_classes=nc)
             return losses["total"], (losses, bn_stats)
 
-        def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask, key, bb_scale):
+        def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask, key):
             # Batches arrive uint8 (data/dataset.py): 4x fewer host->device
             # bytes than the reference's float32 pipeline, and the augment
             # hflip runs pre-cast at 1/4 the f32 bytes. The u8 -> compute
@@ -225,30 +245,27 @@ class Trainer:
             (_, (losses, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, images, gt_labels, gt_boxes, gt_mask
             )
-            # Gradual unfreeze via a traced 0/1 flag — no retrace at the
-            # unfreeze epoch. Grads are zeroed BEFORE the optimizer so AdamW
-            # moments stay cold during the frozen phase (matching the
-            # reference's requires_grad=False freeze, tools/train.py:213-217
-            # — a warm, stale moment at unfreeze would bias the first live
-            # updates), and updates are zeroed AFTER so weight decay cannot
-            # move frozen parameters either.
-            grads = jax.tree_util.tree_map(
-                lambda lbl, g: g * bb_scale if lbl == "backbone" else g, self.labels, grads
-            )
+            # Frozen phase (static — its own compiled program): backbone/neck
+            # grads are exact zeros via loss_fn's stop_gradient, so AdamW
+            # moments stay cold while frozen (matching the reference's
+            # requires_grad=False freeze, tools/train.py:213-217 — a warm,
+            # stale moment at unfreeze would bias the first live updates),
+            # and updates are zeroed AFTER the optimizer so weight decay
+            # cannot move frozen parameters either.
             updates, opt_state = tx.update(grads, opt_state, params)
-            if cfg.freeze_backbone:
-                # The backbone group's moments stay zero while frozen (grads
-                # are zeroed above), but scale_by_adam still increments its
-                # bias-correction count — at unfreeze the stale count makes
-                # mu_hat ~(1-b1)g instead of ~g, a ~3x oversized first update.
-                # Rewind the count on frozen steps so unfreeze starts at 0,
-                # matching torch's requires_grad freeze (fresh per-param
-                # step). The lr-schedule count is NOT rewound: the reference
-                # steps its scheduler globally, so the backbone joins at the
-                # current schedule position.
+            if frozen:
+                # The backbone group's moments stay zero while frozen, but
+                # scale_by_adam still increments its bias-correction count —
+                # at unfreeze the stale count makes mu_hat ~(1-b1)g instead
+                # of ~g, a ~3x oversized first update. Rewind the count on
+                # frozen steps so unfreeze starts at 0, matching torch's
+                # requires_grad freeze (fresh per-param step). The
+                # lr-schedule count is NOT rewound: the reference steps its
+                # scheduler globally, so the backbone joins at the current
+                # schedule position.
                 def _rewind(s):
                     if isinstance(s, optax.ScaleByAdamState):
-                        return s._replace(count=jnp.where(bb_scale > 0, s.count, s.count - 1))
+                        return s._replace(count=s.count - 1)
                     return s
 
                 bb_state = jax.tree_util.tree_map(
@@ -259,14 +276,17 @@ class Trainer:
                 opt_state = opt_state._replace(
                     inner_states={**opt_state.inner_states, "backbone": bb_state}
                 )
-            updates = jax.tree_util.tree_map(
-                lambda lbl, u: u * bb_scale if lbl == "backbone" else u, self.labels, updates
-            )
+                updates = jax.tree_util.tree_map(
+                    lambda lbl, u: jnp.zeros_like(u) if lbl == "backbone" else u,
+                    self.labels,
+                    updates,
+                )
             params = optax.apply_updates(params, updates)
             params = merge_bn_stats(params, bn_updates)
             return params, opt_state, losses
 
-        self._step_raw = step  # unjitted: composable into chained benchmarks
+        if not jit:
+            return step
 
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharded, replicated
@@ -282,10 +302,14 @@ class Trainer:
                 dat,  # gt_boxes
                 dat,  # gt_mask
                 rep,  # key
-                rep,  # bb_scale
             )
             return jax.jit(step, in_shardings=in_shardings, donate_argnums=(0, 1))
         return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _get_step(self, frozen: bool) -> Callable:
+        if frozen not in self._steps:
+            self._steps[frozen] = self._build_step(frozen)
+        return self._steps[frozen]
 
     #: GT-count buckets: the TAL assignment is O(B * Nmax * A), and real COCO
     #: batches rarely exceed ~32 boxes/image, so padding every batch to the
@@ -307,7 +331,6 @@ class Trainer:
         cfg = self.cfg
         epoch = self.global_step // max(1, cfg.steps_per_epoch)
         frozen = cfg.freeze_backbone and epoch < cfg.unfreeze_epoch
-        bb_scale = jnp.asarray(0.0 if frozen else 1.0, jnp.float32)
         multiproc = self.mesh is not None and jax.process_count() > 1
         # Multi-process: every process must compile the IDENTICAL program or
         # the GSPMD collectives deadlock, so the data-dependent GT-pad bucket
@@ -326,12 +349,11 @@ class Trainer:
             arrays = global_batch(self.mesh, *arrays)
         else:
             arrays = tuple(jnp.asarray(a) for a in arrays)
-        params, self.opt_state, losses = self._step(
+        params, self.opt_state, losses = self._get_step(frozen)(
             self.model.params,
             self.opt_state,
             *arrays,
             key,
-            bb_scale,
         )
         self.model.params = params
         self.global_step += 1

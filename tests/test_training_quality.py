@@ -136,11 +136,17 @@ def test_frozen_backbone_keeps_moments_cold():
         [None] * b,
     )
 
+    head_before = np.asarray(tr.model.params["head"]["cv2"][0]["2"]["w"]).copy()
+
     tr.train_step(batch, jax.random.PRNGKey(0))
     tr.train_step(batch, jax.random.PRNGKey(1))  # still frozen (epochs 0,1)
 
     w0_frozen = np.asarray(tr.model.params["backbone"]["cv0"]["conv"]["w"])
     np.testing.assert_array_equal(w0_frozen, w0_before)
+    # The frozen program stop-gradients ONLY backbone/neck: the head must
+    # keep training through it (its grads flow, its moments warm up).
+    head_frozen = np.asarray(tr.model.params["head"]["cv2"][0]["2"]["w"])
+    assert np.abs(head_frozen - head_before).max() > 0
 
     # cv0's kernel shape is unique in the tree; any optimizer-state leaf with
     # that shape is one of its AdamW moments and must be identically zero.
