@@ -356,3 +356,47 @@ class TestTopkMembership:
         x = jnp.asarray(np.random.RandomState(0).randn(3, 5).astype(np.float32))
         assert bool(np.asarray(topk_membership(x, 5)).all())
         assert bool(np.asarray(topk_membership(x, 9)).all())
+
+
+class TestCompileCache:
+    """enable_persistent_compile_cache precedence and guard rails.
+
+    The test suite's conftest already configures a cache dir, so the helper
+    must be a no-op here (that IS the documented behavior for in-process tool
+    mains); the override branches are exercised by faking the config state.
+    """
+
+    def test_noop_when_already_configured(self):
+        import jax
+
+        from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        assert before  # conftest set it
+        assert enable_persistent_compile_cache() is None
+        assert jax.config.jax_compilation_cache_dir == before
+
+    def test_env_disable_and_dir_selection(self, tmp_path, monkeypatch):
+        import jax
+
+        from leanyolo_tpu.utils import compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.setenv(compile_cache.ENV_VAR, "0")
+            assert compile_cache.enable_persistent_compile_cache() is None
+            assert jax.config.jax_compilation_cache_dir is None
+
+            env_dir = str(tmp_path / "envcache")
+            monkeypatch.setenv(compile_cache.ENV_VAR, env_dir)
+            assert compile_cache.enable_persistent_compile_cache() == env_dir
+            assert jax.config.jax_compilation_cache_dir == env_dir
+            import os
+
+            assert os.path.isdir(env_dir)
+
+            # explicit arg wins over env; but an existing config is kept
+            assert compile_cache.enable_persistent_compile_cache(str(tmp_path / "x")) is None
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)

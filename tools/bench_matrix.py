@@ -40,6 +40,9 @@ def main() -> None:
     p.add_argument("--batch-sizes", default=None, help="override: comma list used for every cell")
     p.add_argument("--out", default=None, help="also write the table as JSON here")
     args = p.parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     from bench import bench_variant
     from bench_train import bench_train

@@ -39,6 +39,9 @@ def main() -> None:
     p.add_argument("--tolerance", type=float, default=0.01)
     p.add_argument("--official-map", type=float, default=None)
     args = p.parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     import json
 

@@ -25,6 +25,9 @@ def parse_args() -> argparse.Namespace:
 
 def main() -> None:
     args = parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from leanyolo_tpu import get_model
     from leanyolo_tpu.data.coco import coco80_class_names
     from leanyolo_tpu.models.registry import save_checkpoint

@@ -112,6 +112,9 @@ def main() -> None:
     p.add_argument("--reference-root", default="/root/reference")
     p.add_argument("--out", default="tests/reports")
     args = p.parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

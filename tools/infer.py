@@ -59,6 +59,9 @@ def list_images(source: str):
 
 def main() -> None:
     args = parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     import cv2
 
     from leanyolo_tpu import get_model

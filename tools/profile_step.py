@@ -43,6 +43,9 @@ def parse_args():
 
 def main() -> None:
     args = parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     import numpy as np
 

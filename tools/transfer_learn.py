@@ -97,6 +97,9 @@ def setup_logger(out_dir: Path, *, file: bool = True) -> logging.Logger:
 
 def main() -> None:
     args = parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     nprocs, pid = 1, 0
     if args.distributed:

@@ -24,6 +24,9 @@ def main() -> None:
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--out", default="demo_viz.jpg")
     args = p.parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     import cv2
     import numpy as np

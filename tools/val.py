@@ -102,6 +102,9 @@ def resolve_dataset(args):
 
 def main() -> None:
     args = parse_args()
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     nprocs, pid = 1, 0
     if args.distributed:
