@@ -26,8 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tools  # noqa: E402,F401
 
 # Persistent compilation cache: this host has ONE CPU core, so full-model
-# XLA compiles dominate test time; the cache makes reruns cheap.
-jax.config.update("jax_compilation_cache_dir", os.environ.get("LEANYOLO_TEST_CACHE", "/tmp/leanyolo_tpu_jax_cache"))
+# XLA compiles dominate test time; the cache makes reruns cheap. The host
+# fingerprint subdir guards against loading foreign AOT artifacts after a
+# machine change — they execute with WRONG numerics, not an error (see
+# leanyolo_tpu/utils/compile_cache.py).
+from leanyolo_tpu.utils.compile_cache import host_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.environ.get("LEANYOLO_TEST_CACHE", "/tmp/leanyolo_tpu_jax_cache"), host_fingerprint()),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -206,3 +206,36 @@ def test_augment_semantics():
             a_fit, b_fit = np.polyfit(xi, oi, 1)
             assert 0.8 - 1e-3 <= a_fit <= 1.2 + 1e-3, a_fit
             assert -16 - 1e-2 <= b_fit <= 16 + 1e-2, b_fit
+
+
+# ---------------------------------------------------------- compile cache
+def test_compile_cache_host_scoping(monkeypatch, tmp_path):
+    """The persistent cache must be scoped by the host fingerprint: axon AOT
+    artifacts loaded across a host change execute with wrong numerics (the
+    QT-001 2026-08-19 incident), so a changed fingerprint must change the
+    directory, and an already-configured cache (the test suite's) must win."""
+    from leanyolo_tpu.utils import compile_cache as cc
+
+    fp = cc.host_fingerprint()
+    assert len(fp) == 16 and int(fp, 16) >= 0
+    assert cc.host_fingerprint() == fp  # stable within a host
+
+    # Already configured (by conftest) -> no-op.
+    assert cc.enable_persistent_compile_cache(str(tmp_path / "x")) is None
+
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        d = cc.enable_persistent_compile_cache(str(tmp_path / "base"))
+        assert d == str(tmp_path / "base" / fp)
+        import os
+
+        assert os.path.isdir(d)
+        # disabled via env
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv(cc.ENV_VAR, "0")
+        assert cc.enable_persistent_compile_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
