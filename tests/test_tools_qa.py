@@ -239,3 +239,31 @@ def test_compile_cache_host_scoping(monkeypatch, tmp_path):
         assert cc.enable_persistent_compile_cache() is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_sqa_per_test_env_override(monkeypatch, tmp_path):
+    """A test's own env block overrides the plan env; an EMPTY value UNSETS
+    the variable (how QT-001 escapes the plan-wide CPU pin)."""
+    import yaml
+
+    plan = tmp_path / "plan.yaml"
+    out = tmp_path / "report"
+    plan.write_text(
+        yaml.safe_dump(
+            {
+                "settings": {"workdir": str(tmp_path), "env": {"PINNED": "cpu", "KEEP": "yes"}},
+                "tests": [
+                    {"id": "PLAN-ENV", "steps": ['test "$PINNED" = cpu && test "$KEEP" = yes']},
+                    {
+                        "id": "OVERRIDE",
+                        "env": {"PINNED": "", "EXTRA": "1"},
+                        "steps": ['test -z "$PINNED" && test "$KEEP" = yes && test "$EXTRA" = 1'],
+                    },
+                ],
+            }
+        ),
+        encoding="utf-8",
+    )
+    _run_sqa(["sqa_runner.py", "--plan", str(plan), "--out-dir", str(out)], monkeypatch)
+    assert (out / "PLAN-ENV" / "status.txt").read_text().strip() == "PASSED"
+    assert (out / "OVERRIDE" / "status.txt").read_text().strip() == "PASSED"

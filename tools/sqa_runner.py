@@ -109,8 +109,22 @@ def main() -> None:
 
     plan = load_plan(args.plan)
     settings = plan.get("settings", {})
-    env = dict(os.environ)
-    env.update({k: str(v) for k, v in settings.get("env", {}).items()})
+    base_env = dict(os.environ)
+    base_env.update({k: str(v) for k, v in settings.get("env", {}).items()})
+
+    def test_env(test: dict) -> dict:
+        """Plan env merged with the test's own `env:` block. An EMPTY value
+        removes the variable — how a backend-sensitive test (QT-001) opts
+        out of the plan-wide JAX_PLATFORM_NAME=cpu pin and runs on the
+        default backend (the TPU when present)."""
+        env = dict(base_env)
+        for k, v in (test.get("env") or {}).items():
+            if str(v) == "":
+                env.pop(k, None)
+            else:
+                env[k] = str(v)
+        return env
+
     workdir = settings.get("workdir", ".")
     out_root = Path(args.out_dir)
     out_root.mkdir(parents=True, exist_ok=True)
@@ -137,9 +151,9 @@ def main() -> None:
             if args.mode == "agent":
                 if not args.agent_cmd:
                     raise SystemExit("--mode agent requires --agent-cmd")
-                status, dur = run_agent(test, env, workdir, log_path, args.agent_cmd, args.timeout)
+                status, dur = run_agent(test, test_env(test), workdir, log_path, args.agent_cmd, args.timeout)
             else:
-                status, dur = run_shell(test, env, workdir, log_path, args.timeout)
+                status, dur = run_shell(test, test_env(test), workdir, log_path, args.timeout)
         except subprocess.TimeoutExpired as te:
             status, dur = "FAILED", float(args.timeout)
             # APPEND the marker — overwriting would destroy the captured
