@@ -267,3 +267,28 @@ def test_sqa_per_test_env_override(monkeypatch, tmp_path):
     _run_sqa(["sqa_runner.py", "--plan", str(plan), "--out-dir", str(out)], monkeypatch)
     assert (out / "PLAN-ENV" / "status.txt").read_text().strip() == "PASSED"
     assert (out / "OVERRIDE" / "status.txt").read_text().strip() == "PASSED"
+
+
+def test_sqa_plan_lint():
+    """The tracked sqa.yaml stays well-formed: unique ids, non-empty steps,
+    an expected line per test, and every `python tools/X.py` it references
+    exists (guards matrix edits against typos)."""
+    import re
+
+    import yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    plan = yaml.safe_load(open(os.path.join(root, "sqa.yaml"), encoding="utf-8"))
+    tests = plan["tests"]
+    ids = [t["id"] for t in tests]
+    assert len(ids) == len(set(ids)), "duplicate test ids"
+    assert len(ids) >= 20  # the matrix only grows
+    for t in tests:
+        assert t.get("steps"), f"{t['id']}: no steps"
+        assert t.get("expected"), f"{t['id']}: no expected line"
+        for step in t["steps"]:
+            for m in re.finditer(r"tools/(\w+)\.py", step):
+                path = os.path.join(root, "tools", m.group(1) + ".py")
+                assert os.path.exists(path), f"{t['id']}: missing {path}"
+        for k, v in (t.get("env") or {}).items():
+            assert isinstance(k, str) and v is not None, f"{t['id']}: bad env entry {k!r}"
