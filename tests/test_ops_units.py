@@ -390,11 +390,14 @@ class TestCompileCache:
 
             env_dir = str(tmp_path / "envcache")
             monkeypatch.setenv(compile_cache.ENV_VAR, env_dir)
-            assert compile_cache.enable_persistent_compile_cache() == env_dir
-            assert jax.config.jax_compilation_cache_dir == env_dir
+            # The env dir is the BASE; the host fingerprint subdir is
+            # appended so AOT artifacts never cross a host change.
             import os
 
-            assert os.path.isdir(env_dir)
+            scoped = os.path.join(env_dir, compile_cache.host_fingerprint())
+            assert compile_cache.enable_persistent_compile_cache() == scoped
+            assert jax.config.jax_compilation_cache_dir == scoped
+            assert os.path.isdir(scoped)
 
             # explicit arg wins over env; but an existing config is kept
             assert compile_cache.enable_persistent_compile_cache(str(tmp_path / "x")) is None
