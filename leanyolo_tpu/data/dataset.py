@@ -38,9 +38,18 @@ class CocoDetection:
         *,
         img_size: int = 640,
         max_images: Optional[int] = None,
+        preprocess: str = "host",
     ) -> None:
+        if preprocess not in ("host", "device"):
+            raise ValueError(f"preprocess must be 'host' or 'device', got {preprocess!r}")
         self.images_dir = images_dir
         self.img_size = int(img_size)
+        #: 'host': __getitem__ letterboxes on CPU (reference-exact pixels).
+        #: 'device': __getitem__ returns the RAW image with boxes in ORIGINAL
+        #: pixel coordinates; the loader pastes onto a fixed canvas and the
+        #: train step warps + transforms boxes inside the compiled program
+        #: (boxes transform affinely: x' = x*gain + pad).
+        self.preprocess = preprocess
         with open(ann_json, "r", encoding="utf-8") as f:
             ann = json.load(f)
 
@@ -61,6 +70,16 @@ class CocoDetection:
                 continue
             if a["image_id"] in keep_ids:
                 self.anns_by_image[a["image_id"]].append(a)
+
+        self.canvas_size: Optional[int] = None
+        if preprocess == "device":
+            from ..ops.letterbox import dataset_canvas_size
+
+            # Computed at CONSTRUCTION, before any multi-host sharding trims
+            # self.images: every process must use the same canvas bucket or
+            # the distributed train steps compile different programs and the
+            # collectives deadlock.
+            self.canvas_size = dataset_canvas_size(self.images, self.img_size)
 
     def __len__(self) -> int:
         return len(self.images)
@@ -84,6 +103,8 @@ class CocoDetection:
         float32 batches the reference pipeline ships.
         """
         img = self.load_image(idx)
+        if self.preprocess == "device":
+            return self._getitem_raw(img, idx)
         lb, (gw, gh), (px, py) = letterbox(img, self.img_size)
         info = self.images[idx]
         anns = self.anns_by_image.get(info["id"], [])
@@ -106,6 +127,35 @@ class CocoDetection:
         }
         return np.ascontiguousarray(lb, dtype=np.uint8), target
 
+    def _getitem_raw(self, img: np.ndarray, idx: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        """Device-preprocess item: raw pixels + boxes in ORIGINAL coordinates.
+
+        The letterbox geometry is computed here (host float math, same
+        letterbox_params the predictor's device path uses) but APPLIED on
+        device: the train step warps the canvas and maps boxes affinely.
+        """
+        from ..ops.letterbox import letterbox_params
+
+        info = self.images[idx]
+        h, w = int(img.shape[0]), int(img.shape[1])
+        (gw, gh), (px, py), (nh, nw) = letterbox_params((h, w), self.img_size)
+        anns = self.anns_by_image.get(info["id"], [])
+        boxes, labels = [], []
+        for a in anns:
+            x, y, bw, bh = a["bbox"]  # COCO xywh in original pixels
+            boxes.append([x, y, x + bw, y + bh])
+            labels.append(self.cat_id_to_idx[a["category_id"]])
+        target = {
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int32).reshape(-1),
+            "image_id": info["id"],
+            "orig_hw": (h, w),
+            "gain": (gw, gh),
+            "pad": (px, py),
+            "new_hw": (nh, nw),
+        }
+        return np.ascontiguousarray(img[..., :3], dtype=np.uint8), target
+
 
 class Batch:
     """Fixed-shape host batch ready for device_put."""
@@ -118,6 +168,57 @@ class Batch:
         self.gt_boxes = gt_boxes
         self.gt_mask = gt_mask
         self.meta = meta
+
+
+class DeviceBatch:
+    """Fixed-shape host batch for DEVICE-side letterboxing: raw pixels on a
+    fixed canvas + per-image geometry arrays + boxes in original coords.
+    The train step warps the canvas and maps boxes inside the compiled
+    program (Trainer with TrainConfig.device_preprocess=True)."""
+
+    __slots__ = ("canvas", "new_hw", "pads", "hw", "gainpad",
+                 "gt_labels", "gt_boxes", "gt_mask", "meta")
+
+    def __init__(self, canvas, new_hw, pads, hw, gainpad, gt_labels, gt_boxes, gt_mask, meta):
+        self.canvas = canvas
+        self.new_hw = new_hw
+        self.pads = pads
+        self.hw = hw
+        self.gainpad = gainpad  # [B, 4] f32 (gain_w, gain_h, pad_left, pad_top)
+        self.gt_labels = gt_labels
+        self.gt_boxes = gt_boxes  # ORIGINAL pixel coords; device maps to letterbox space
+        self.gt_mask = gt_mask
+        self.meta = meta
+
+
+def collate_device(items: Sequence[Tuple[np.ndarray, dict]], max_boxes: int, canvas_size: int) -> DeviceBatch:
+    """Paste raw images onto the fixed canvas (pure memcpy) + pad targets."""
+    b = len(items)
+    canvas = np.zeros((b, canvas_size, canvas_size, 3), np.uint8)
+    new_hw = np.zeros((b, 2), np.int32)
+    pads = np.zeros((b, 2), np.int32)
+    hw = np.zeros((b, 2), np.int32)
+    gainpad = np.zeros((b, 4), np.float32)
+    gl = np.zeros((b, max_boxes), np.int32)
+    gb = np.zeros((b, max_boxes, 4), np.float32)
+    gm = np.zeros((b, max_boxes), bool)
+    meta = []
+    for i, (img, t) in enumerate(items):
+        h, w = int(img.shape[0]), int(img.shape[1])
+        if h > canvas_size or w > canvas_size:
+            raise ValueError(f"image {h}x{w} exceeds canvas {canvas_size}")
+        canvas[i, :h, :w] = img
+        new_hw[i] = t["new_hw"]
+        pads[i] = t["pad"]
+        hw[i] = (h, w)
+        gainpad[i] = (*t["gain"], *t["pad"])
+        n = min(len(t["labels"]), max_boxes)
+        if n:
+            gl[i, :n] = t["labels"][:n]
+            gb[i, :n] = t["boxes"][:n]
+            gm[i, :n] = True
+        meta.append(t)
+    return DeviceBatch(canvas, new_hw, pads, hw, gainpad, gl, gb, gm, meta)
 
 
 def collate(items: Sequence[Tuple[np.ndarray, dict]], max_boxes: int) -> Batch:
@@ -166,6 +267,14 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        # One canvas bucket for the whole dataset -> one compiled train step
+        # per epoch regardless of raw image sizes (set by CocoDetection at
+        # construction when preprocess='device').
+        self.canvas_size = getattr(dataset, "canvas_size", None)
+        if getattr(dataset, "preprocess", "host") == "device" and self.canvas_size is None:
+            from ..ops.letterbox import dataset_canvas_size
+
+            self.canvas_size = dataset_canvas_size(dataset.images, dataset.img_size)
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle epoch (resume support: a fresh loader replays the
@@ -221,16 +330,20 @@ class DataLoader:
                         n_pad = self.batch_size - len(items)
                         if n_pad > 0:
                             pad_img = items[0][0]
+                            # Repeat item 0 (incl. its geometry in device
+                            # mode — the warp must stay in-bounds) with an
+                            # empty, all-masked target.
                             empty = {
+                                **items[0][1],
                                 "boxes": np.zeros((0, 4), np.float32),
                                 "labels": np.zeros((0,), np.int32),
                                 "image_id": -1,
-                                "orig_hw": (None, None),
-                                "gain": (1.0, 1.0),
-                                "pad": (0, 0),
                             }
                             items += [(pad_img, empty)] * n_pad
-                        batch = collate(items, self.max_boxes)
+                        if self.canvas_size is not None:
+                            batch = collate_device(items, self.max_boxes, self.canvas_size)
+                        else:
+                            batch = collate(items, self.max_boxes)
                         for j in range(self.batch_size - n_pad, self.batch_size):
                             batch.meta[j] = None
                         if not put_or_stop(batch):

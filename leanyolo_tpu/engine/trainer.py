@@ -57,6 +57,15 @@ class TrainConfig:
     #: model forward in jax.checkpoint (backward recomputes all activations
     #: instead of storing them — trades one extra forward for HBM pressure).
     remat: str = "none"
+    #: Device-side letterboxing: the step takes a DeviceBatch (raw pixels on
+    #: a fixed canvas + geometry) and fuses the letterbox warp + the affine
+    #: GT-box transform into the compiled train step — the 1-core host
+    #: pipeline then only decodes JPEGs and memcpys (north star: letterbox
+    #: fused for infer/val/train; reference letterbox.py:9-91 is the spec).
+    device_preprocess: bool = False
+    #: Square letterbox size for the device warp (only used when
+    #: device_preprocess is set; host mode gets its size from the dataset).
+    imgsz: int = 640
 
 
 def _is_stats_leaf(path: Tuple) -> bool:
@@ -236,6 +245,18 @@ class Trainer:
             # bytes than the reference's float32 pipeline, and the augment
             # hflip runs pre-cast at 1/4 the f32 bytes. The u8 -> compute
             # dtype cast fuses into the brightness jitter / conv0 input.
+            if cfg.device_preprocess:
+                # `images` is (canvas, new_hw, pads, hw, gainpad): warp the
+                # raw canvas to the letterbox square on device and map GT
+                # boxes affinely into letterbox space (x' = x*gain + pad) —
+                # the same geometry the host path bakes into the dataset.
+                from ..ops.letterbox import letterbox_batch_jax
+
+                canvas, new_hw, pads_i, hw, gainpad = images
+                images = letterbox_batch_jax(canvas, new_hw, pads_i, hw, cfg.imgsz)
+                mult = gainpad[:, None, jnp.array([0, 1, 0, 1])]
+                add = gainpad[:, None, jnp.array([2, 3, 2, 3])]
+                gt_boxes = gt_boxes * mult + add
             if cfg.augment:
                 images, gt_boxes = augment_batch(
                     key, images, gt_boxes, p_hflip=cfg.p_hflip, p_bc=cfg.p_bc, dtype=dtype
@@ -337,8 +358,21 @@ class Trainer:
         # is pinned to the loader ceiling; batch arrays are per-host shards
         # assembled into global jax.Arrays.
         nb = batch.gt_mask.shape[1] if multiproc else self._nmax_bucket(batch.gt_mask)
+        is_device_batch = hasattr(batch, "canvas")
+        if is_device_batch != cfg.device_preprocess:
+            raise ValueError(
+                "batch/preprocess mismatch: TrainConfig.device_preprocess="
+                f"{cfg.device_preprocess} but the loader produced a "
+                f"{'DeviceBatch' if is_device_batch else 'host Batch'} — build "
+                "the dataset with the matching preprocess= mode"
+            )
+        imgs = (
+            (batch.canvas, batch.new_hw, batch.pads, batch.hw, batch.gainpad)
+            if is_device_batch
+            else batch.images
+        )
         arrays = (
-            batch.images,
+            imgs,
             batch.gt_labels[:, :nb],
             batch.gt_boxes[:, :nb],
             batch.gt_mask[:, :nb],
@@ -346,9 +380,14 @@ class Trainer:
         if multiproc:
             from ..parallel.distributed import global_batch
 
-            arrays = global_batch(self.mesh, *arrays)
+            # Flatten first: the device-preprocess image slot is itself a
+            # tuple (canvas + geometry arrays), and every leaf is a per-host
+            # batch shard that must become a global jax.Array.
+            flat, treedef = jax.tree_util.tree_flatten(arrays)
+            flat = global_batch(self.mesh, *flat)
+            arrays = jax.tree_util.tree_unflatten(treedef, flat if isinstance(flat, tuple) else (flat,))
         else:
-            arrays = tuple(jnp.asarray(a) for a in arrays)
+            arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
         params, self.opt_state, losses = self._get_step(frozen)(
             self.model.params,
             self.opt_state,

@@ -109,6 +109,21 @@ def measure_fps(predictor: Predictor, *, batch_size: int = 1, warmup: int = 1, i
     return (iters * batch_size) / dt
 
 
+def _viz_name(ds, m, idx: int, name_mode: str) -> str:
+    """Output file name for a viz image (the reference's three naming modes,
+    tools/val.py:190-208)."""
+    if name_mode == "id":
+        return f"{m['image_id']}.jpg"
+    if name_mode == "index":
+        return f"{idx:06d}.jpg"
+    # 'file': the original file name (id->info dict built once — a per-image
+    # linear scan over ds.images is O(N*M) per epoch)
+    if not hasattr(ds, "_viz_by_id"):
+        ds._viz_by_id = {im["id"]: im for im in ds.images}
+    info = ds._viz_by_id.get(m["image_id"])
+    return os.path.basename(info["file_name"]) if info else f"{idx:06d}.jpg"
+
+
 def _save_viz_batch(batch, dets, num, ds, *, decode, viz_dir, conf, name_mode, start_index) -> int:
     """Render detections on letterboxed batch images (reference val.py:190-208)."""
     import cv2
@@ -124,17 +139,36 @@ def _save_viz_batch(batch, dets, num, ds, *, decode, viz_dir, conf, name_mode, s
         d = d[: int(num[i])] if decode != "topk" else d[d[:, 4] > conf]
         bgr = cv2.cvtColor(batch.images[i].astype(np.uint8), cv2.COLOR_RGB2BGR)
         out = draw_detections(bgr, d, ds.class_names)
-        if name_mode == "id":
-            name = f"{m['image_id']}.jpg"
-        elif name_mode == "index":
-            name = f"{idx:06d}.jpg"
-        else:  # 'file': the original file name (id->info dict built once —
-            # a per-image linear scan over ds.images is O(N*M) per epoch)
-            if not hasattr(ds, "_viz_by_id"):
-                ds._viz_by_id = {im["id"]: im for im in ds.images}
-            info = ds._viz_by_id.get(m["image_id"])
-            name = os.path.basename(info["file_name"]) if info else f"{idx:06d}.jpg"
-        cv2.imwrite(os.path.join(viz_dir, name), out)
+        cv2.imwrite(os.path.join(viz_dir, _viz_name(ds, m, idx, name_mode)), out)
+        idx += 1
+    return idx
+
+
+def _save_viz_original(raw_imgs, dets, num, metas, ds, *, decode, viz_dir, conf, name_mode, start_index) -> int:
+    """Device-preprocess viz: letterboxed pixels never reach the host, so
+    render on the ORIGINAL images with detections unletterboxed into original
+    coordinates (the same transform the COCO results use)."""
+    import cv2
+
+    from ..utils.viz import draw_detections
+
+    os.makedirs(viz_dir, exist_ok=True)
+    idx = start_index
+    for i, m in enumerate(metas):
+        if m is None:
+            continue
+        d = np.array(dets[i], copy=True)
+        d = d[: int(num[i])] if decode != "topk" else d[d[:, 4] > conf]
+        gw, gh = m["gain"]
+        px, py = m["pad"]
+        oh, ow = m["orig_hw"]
+        d[:, 0] = np.clip((d[:, 0] - px) / gw, 0, ow)
+        d[:, 1] = np.clip((d[:, 1] - py) / gh, 0, oh)
+        d[:, 2] = np.clip((d[:, 2] - px) / gw, 0, ow)
+        d[:, 3] = np.clip((d[:, 3] - py) / gh, 0, oh)
+        bgr = cv2.cvtColor(np.asarray(raw_imgs[i], np.uint8), cv2.COLOR_RGB2BGR)
+        out = draw_detections(bgr, d, ds.class_names)
+        cv2.imwrite(os.path.join(viz_dir, _viz_name(ds, m, idx, name_mode)), out)
         idx += 1
     return idx
 
@@ -176,8 +210,6 @@ def validate_coco(
     'index' (sequential) — the reference's three viz naming modes
     (tools/val.py:190-208).
     """
-    if preprocess == "device" and viz_dir:
-        raise ValueError("viz requires preprocess='host' (letterboxed images stay on device otherwise)")
     ds = CocoDetection(images_dir, ann_json, img_size=imgsz, max_images=max_images)
     if shard is not None and shard[1] > 1:
         # Multi-host validation: each process evaluates a stride-slice of the
@@ -217,10 +249,18 @@ def validate_coco(
     t0 = time.perf_counter()
 
     if preprocess == "device":
-        for dets, num, metas in _iter_device_preprocess(ds, predictor, batch_size, workers):
+        for dets, num, metas, raw_imgs in _iter_device_preprocess(ds, predictor, batch_size, workers):
             all_results.extend(
                 detections_to_coco_results(dets, num, metas, ds.cat_ids, decode=decode, conf_for_topk=0.0)
             )
+            if viz_dir:
+                # Letterboxed pixels live on device in this mode; instead of
+                # reading the warp back, render on the ORIGINAL images with
+                # unletterboxed coordinates (same three naming modes).
+                viz_index = _save_viz_original(
+                    raw_imgs, dets, num, metas, ds, decode=decode, viz_dir=viz_dir,
+                    conf=viz_conf, name_mode=viz_name_mode, start_index=viz_index,
+                )
             n_images += sum(m is not None for m in metas)
         wall = time.perf_counter() - t0
         return _finish_sharded(
@@ -255,7 +295,7 @@ def validate_coco(
 
 
 def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size: int, workers: int):
-    """Yield (dets, num, metas) with letterboxing done on device.
+    """Yield (dets, num, metas, raw_imgs) with letterboxing done on device.
 
     Raw decoded images go onto a fixed canvas (host memcpy only); the
     resize/pad warp runs inside the predictor's compiled program. The canvas
@@ -266,27 +306,9 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
 
     import jax.numpy as jnp
 
-    from ..ops.letterbox import canvas_batch, choose_bucket
+    from ..ops.letterbox import canvas_batch, dataset_canvas_size
 
-    longest = 1
-    missing = [im for im in ds.images if not (im.get("height") and im.get("width"))]
-    if missing:
-        # Fail fast: a too-small canvas would otherwise surface minutes later
-        # as a misleading "image exceeds canvas" crash mid-validation.
-        raise ValueError(
-            f"device preprocessing sizes the canvas from the annotations, but "
-            f"{len(missing)} image entries lack height/width (first: "
-            f"{missing[0].get('file_name', missing[0].get('id'))}); use "
-            f"preprocess='host' or fix the annotation json"
-        )
-    for im in ds.images:
-        longest = max(longest, int(im["height"]), int(im["width"]))
-    # Like canvas_batch's default sizing, the canvas must FIT the largest raw
-    # image (the device warp downscales); choose_bucket alone caps at its
-    # max_size and would crash on >1280px datasets.
-    canvas_size = max(
-        ds.img_size, choose_bucket((longest, longest)), (longest + 255) // 256 * 256
-    )
+    canvas_size = dataset_canvas_size(ds.images, ds.img_size)
 
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         for s in range(0, len(ds), batch_size):
@@ -308,7 +330,7 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
                 else None
                 for i in range(batch_size)
             ]
-            yield np.asarray(dets), np.asarray(num), metas
+            yield np.asarray(dets), np.asarray(num), metas, imgs
 
 
 def _finish_sharded(ds, all_results, n_images, wall, ann_json, max_images,

@@ -193,6 +193,29 @@ def canvas_batch(images, target: int, *, canvas_size: Optional[int] = None, scal
     return canvas, new_hw, pads, hw, metas
 
 
+def dataset_canvas_size(images_meta, target: int) -> int:
+    """Canvas bucket for a whole COCO dataset from annotation-declared sizes.
+
+    The canvas must FIT the largest raw image (the device warp downscales to
+    `target`); sizing it once per dataset means ONE compiled program for the
+    epoch. Fails fast on entries missing height/width — a too-small canvas
+    would otherwise surface minutes later as a misleading 'image exceeds
+    canvas' crash mid-run.
+    """
+    missing = [im for im in images_meta if not (im.get("height") and im.get("width"))]
+    if missing:
+        raise ValueError(
+            f"device preprocessing sizes the canvas from the annotations, but "
+            f"{len(missing)} image entries lack height/width (first: "
+            f"{missing[0].get('file_name', missing[0].get('id'))}); use "
+            f"preprocess='host' or fix the annotation json"
+        )
+    longest = 1
+    for im in images_meta:
+        longest = max(longest, int(im["height"]), int(im["width"]))
+    return max(target, choose_bucket((longest, longest)), (longest + 255) // 256 * 256)
+
+
 def letterbox_jax(img, target: int, *, pad_value: float = 114.0, scaleup: bool = True):
     """Device letterbox: resize + pad + (caller applies normalization in-model).
 

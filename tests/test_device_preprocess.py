@@ -126,3 +126,147 @@ def test_canvas_batch_fits_oversize_images():
     out = letterbox_batch_jax(canvas, jnp.asarray(new_hw), jnp.asarray(pads), jnp.asarray(hw), 64)
     want, _, _ = letterbox(big, 64)
     assert np.abs(np.asarray(out)[0] - want.astype(np.float32)).max() <= 2.0
+
+
+# ---- train-path device letterbox (round-2 verdict #7: device preprocessing
+# ---- everywhere it's claimed; reference letterbox.py:9-91 is the spec) ----
+
+
+def test_train_device_box_transform_matches_host(tmp_path):
+    """The affine GT-box map the train step applies on device (x' = x*gain +
+    pad, from DeviceBatch.gainpad) must reproduce the host dataset's
+    letterbox-space boxes exactly."""
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu.data.dataset import CocoDetection, collate, collate_device
+
+    img_dir, ann = make_synth_coco(str(tmp_path / "coco"), n_images=4, size=(96, 128))
+    ds_h = CocoDetection(img_dir, ann, img_size=64)
+    ds_d = CocoDetection(img_dir, ann, img_size=64, preprocess="device")
+    bh = collate([ds_h[i] for i in range(4)], max_boxes=8)
+    bd = collate_device([ds_d[i] for i in range(4)], 8, ds_d.canvas_size)
+
+    mult = bd.gainpad[:, None, [0, 1, 0, 1]]
+    add = bd.gainpad[:, None, [2, 3, 2, 3]]
+    # Only real boxes: padding rows are zeros, which the affine map shifts by
+    # `pad` — harmless downstream because every consumer masks by gt_mask.
+    m = bh.gt_mask
+    np.testing.assert_allclose((bd.gt_boxes * mult + add)[m], bh.gt_boxes[m], atol=1e-4)
+    np.testing.assert_array_equal(bd.gt_mask, bh.gt_mask)
+    np.testing.assert_array_equal(bd.gt_labels, bh.gt_labels)
+
+
+def test_train_step_device_preprocess_loss_parity_identity(tmp_path):
+    """Images exactly at img_size: the device warp is an identity copy, so a
+    train step under device preprocessing must match the host-path step
+    numerically (same pixels, same GT, same PRNG key)."""
+    import jax
+
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu.data.dataset import CocoDetection, DataLoader
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    img_dir, ann = make_synth_coco(str(tmp_path / "coco"), n_images=2, size=(64, 64))
+    common = dict(epochs=1, steps_per_epoch=1, augment=False, lr=1e-3)
+
+    losses = {}
+    params = {}
+    for mode in ("host", "device"):
+        ds = CocoDetection(img_dir, ann, img_size=64, preprocess=mode)
+        dl = DataLoader(ds, batch_size=2, shuffle=False, max_boxes=8, workers=0)
+        batch = next(iter(dl))
+        model = YOLOv10.create("yolov10n", class_names=["a", "b", "c"], seed=0)
+        tr = Trainer(model, TrainConfig(device_preprocess=(mode == "device"), imgsz=64, **common))
+        losses[mode] = tr.train_step(batch, jax.random.PRNGKey(0))
+        params[mode] = model.params
+
+    assert losses["device"]["total"] == pytest.approx(losses["host"]["total"], rel=1e-5)
+    leaves_h = jax.tree_util.tree_leaves(params["host"])
+    leaves_d = jax.tree_util.tree_leaves(params["device"])
+    for lh, ld in zip(leaves_h, leaves_d):
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(lh), rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_device_preprocess_resized_converges(tmp_path):
+    """Mixed-size images through the device path: loss must be finite, close
+    to the host path's (pixel-LSB differences only), and decrease over steps."""
+    import jax
+
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu.data.dataset import CocoDetection, DataLoader
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    img_dir, ann = make_synth_coco(str(tmp_path / "coco"), n_images=2, size=(96, 128))
+    common = dict(epochs=1, steps_per_epoch=1, augment=False, lr=1e-3)
+
+    first = {}
+    for mode in ("host", "device"):
+        ds = CocoDetection(img_dir, ann, img_size=64, preprocess=mode)
+        dl = DataLoader(ds, batch_size=2, shuffle=False, max_boxes=8, workers=0)
+        batch = next(iter(dl))
+        model = YOLOv10.create("yolov10n", class_names=["a", "b", "c"], seed=0)
+        tr = Trainer(model, TrainConfig(device_preprocess=(mode == "device"), imgsz=64, **common))
+        ls = [tr.train_step(batch, jax.random.PRNGKey(s))["total"] for s in range(3)]
+        assert all(np.isfinite(v) for v in ls)
+        assert ls[-1] < ls[0]
+        first[mode] = ls[0]
+    assert first["device"] == pytest.approx(first["host"], rel=2e-2)
+
+
+def test_trainer_batch_mode_mismatch_raises():
+    import jax
+
+    from leanyolo_tpu.data.dataset import Batch
+    from leanyolo_tpu.engine.trainer import TrainConfig, Trainer
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    model = YOLOv10.create("yolov10n", class_names=["a"], seed=0)
+    tr = Trainer(model, TrainConfig(epochs=1, steps_per_epoch=1, device_preprocess=True, imgsz=64))
+    host_batch = Batch(
+        np.zeros((1, 64, 64, 3), np.uint8),
+        np.zeros((1, 4), np.int32),
+        np.zeros((1, 4, 4), np.float32),
+        np.zeros((1, 4), bool),
+        [None],
+    )
+    with pytest.raises(ValueError, match="batch/preprocess mismatch"):
+        tr.train_step(host_batch, jax.random.PRNGKey(0))
+
+
+def test_dataset_canvas_size_missing_dims_raises():
+    from leanyolo_tpu.ops.letterbox import dataset_canvas_size
+
+    with pytest.raises(ValueError, match="lack height/width"):
+        dataset_canvas_size([{"id": 1, "file_name": "x.jpg"}], 64)
+    assert dataset_canvas_size([{"height": 100, "width": 200}], 64) >= 200
+
+
+def test_validate_coco_device_preprocess_viz(tmp_path):
+    """Device preprocessing + viz: letterboxed pixels never reach the host,
+    so viz renders on the ORIGINAL images with unletterboxed boxes (this
+    combination used to raise)."""
+    import os
+
+    from synth_coco import make_synth_coco
+
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.engine.validator import validate_coco
+
+    img_dir, ann = make_synth_coco(str(tmp_path / "coco"), n_images=2)
+    model = get_model("yolov10n", weights=None, class_names=["a", "b", "c"], seed=7)
+    viz = str(tmp_path / "viz")
+    validate_coco(
+        model, images_dir=img_dir, ann_json=ann, imgsz=64, batch_size=2,
+        workers=0, preprocess="device", viz_dir=viz, viz_conf=0.0,
+    )
+    names = sorted(os.listdir(viz))
+    assert names == ["img_0000.jpg", "img_0001.jpg"]
+    import cv2
+
+    # Rendered on the ORIGINAL image: original (96, 128) shape, not 64x64.
+    out = cv2.imread(os.path.join(viz, names[0]))
+    assert out.shape[:2] == (96, 128)

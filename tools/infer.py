@@ -40,6 +40,13 @@ def parse_args() -> argparse.Namespace:
         "(reference tools/infer.py:52,167-174); --class-names wins if both given",
     )
     p.add_argument(
+        "--preprocess", choices=["host", "device"], default="host",
+        help="'host': cv2 letterbox per image (reference-exact pixels); "
+        "'device': paste onto a fixed canvas and letterbox on device inside "
+        "the same XLA program as the forward (reference letterbox.py:9-91 is "
+        "the behavioral spec; parity is at the detection level)",
+    )
+    p.add_argument(
         "--spatial-parallel", type=int, default=0, metavar="S",
         help="latency mode: run EACH image across S chips by sharding its "
         "height over a (1, S) mesh (GSPMD conv halo exchange over ICI)",
@@ -106,7 +113,7 @@ def main() -> None:
             print(f"skip unreadable image: {path}")
             continue
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        dets = predictor.predict_images([rgb])[0]
+        dets = predictor.predict_images([rgb], preprocess=args.preprocess)[0]
         for d in dets:
             x1, y1, x2, y2, score, cls = d[:6]
             name = class_names[int(cls)] if int(cls) < len(class_names) else str(int(cls))

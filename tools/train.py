@@ -41,6 +41,13 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--augment", action="store_true")
     p.add_argument("--max-boxes", type=int, default=128)
+    p.add_argument(
+        "--preprocess", choices=["host", "device"], default="host",
+        help="'host': cv2 letterbox per image on CPU; 'device': raw pixels "
+        "ship on a fixed canvas and the letterbox warp + affine GT-box "
+        "transform run inside the compiled train step (the 1-core host "
+        "pipeline then only decodes and memcpys)",
+    )
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true")
@@ -106,7 +113,10 @@ def main() -> None:
             jax.random.PRNGKey(args.seed + 1), model.nc, model.cfg.neck_out, model.cfg.reg_max
         )
 
-    ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz, max_images=args.max_images)
+    ds = CocoDetection(
+        args.train_images, args.train_ann, img_size=args.imgsz,
+        max_images=args.max_images, preprocess=args.preprocess,
+    )
 
     local_bs = args.batch_size
     if args.distributed and nprocs > 1:
@@ -164,6 +174,8 @@ def main() -> None:
         bf16=args.bf16,
         augment=args.augment,
         steps_per_epoch=steps_per_epoch,
+        device_preprocess=args.preprocess == "device",
+        imgsz=args.imgsz,
     )
     trainer = Trainer(model, cfg, mesh=mesh)
 
@@ -199,6 +211,14 @@ def main() -> None:
 
     base_key = jax.random.PRNGKey(args.seed)
 
+    # Per-epoch metrics log (one JSON line per epoch). Loss means are
+    # backend-insensitive convergence evidence (SQA QT-001's secondary gate
+    # reads them): mAP gates are chip-calibrated, but "the loss fell 5x+"
+    # holds on CPU and TPU alike. Fresh runs truncate; --resume appends.
+    history_path = out_dir / "history.jsonl"
+    if pid == 0 and not args.resume and history_path.exists():
+        history_path.unlink()
+
     eval_predictor = None
     if args.val_images and args.val_ann and not (args.distributed and nprocs > 1):
         from leanyolo_tpu.engine.predictor import Predictor
@@ -212,12 +232,14 @@ def main() -> None:
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         nb = 0
+        ep_losses: list = []  # device scalars; floated once per epoch (no mid-epoch sync)
         loader.set_epoch(epoch)  # replay the exact shuffle order on resume
         for batch in loader:
             # Key derived from the step counter: resume reproduces the exact
             # augmentation stream of an uninterrupted run.
             sub = jax.random.fold_in(base_key, trainer.global_step)
             losses = trainer.train_step(batch, sub)
+            ep_losses.append(losses)
             nb += 1
             if nb % max(1, args.log_interval) == 0 or nb == steps_per_epoch:
                 vals = {k: float(losses[k]) for k in ("total", "cls", "reg")}
@@ -227,6 +249,14 @@ def main() -> None:
                 )
         dt = time.perf_counter() - t0
         print(f"epoch {epoch + 1} done in {dt:.1f}s ({nb * args.batch_size / dt:.1f} img/s)")
+        epoch_row = {
+            "epoch": epoch + 1,
+            **{f"loss_{k}": float(np.mean([float(l[k]) for l in ep_losses]))
+               for k in ("total", "cls", "reg")},
+            "steps": nb,
+            "time_s": round(dt, 2),
+            "img_s": round(nb * args.batch_size / dt, 2),
+        }
 
         if args.val_images and args.val_ann and (epoch + 1) % args.eval_every == 0 and pid == 0:
             try:
@@ -250,10 +280,14 @@ def main() -> None:
                     predictor=eval_predictor,
                 )
                 print(f"epoch {epoch + 1} mAP50-95={stats['map_50_95']:.5f} mAP50={stats['map_50']:.5f}")
+                epoch_row["map_50_95"] = round(stats["map_50_95"], 5)
+                epoch_row["map_50"] = round(stats["map_50"], 5)
             except Exception as e:  # per-epoch eval failures shouldn't kill training
                 print(f"eval failed: {e}")
 
         if pid == 0:
+            with open(history_path, "a", encoding="utf-8") as f:
+                f.write(json.dumps(epoch_row) + "\n")
             save_checkpoint(model, str(out_dir / f"epoch{epoch + 1:03d}.npz"), extra_meta={"epoch": epoch + 1})
             save_checkpoint(model, str(out_dir / "last.npz"), extra_meta={"epoch": epoch + 1})
             trainer.save_train_state(str(out_dir / "train_state.npz"))

@@ -45,6 +45,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--no-amp", action="store_true", help="disable bf16 compute")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--max-boxes", type=int, default=128)
+    p.add_argument(
+        "--preprocess", choices=["host", "device"], default="host",
+        help="'device' fuses the letterbox warp + affine GT-box transform "
+        "into the compiled train step (host only decodes and memcpys)",
+    )
     p.add_argument("--max-images", type=int, default=None, help="train debug subset size (reference --debug-train-size)")
     p.add_argument("--max-val-images", type=int, default=None, help="eval debug subset size (reference --debug-val-size)")
     p.add_argument("--eval-every", type=int, default=1, help="evaluate every N epochs (reference --debug-eval-every)")
@@ -136,7 +141,10 @@ def main() -> None:
         )
         log.info("head reset to fresh random init")
 
-    ds = CocoDetection(args.train_images, args.train_ann, img_size=args.imgsz, max_images=args.max_images)
+    ds = CocoDetection(
+        args.train_images, args.train_ann, img_size=args.imgsz,
+        max_images=args.max_images, preprocess=args.preprocess,
+    )
 
     local_bs = args.batch_size
     if args.distributed and nprocs > 1:
@@ -185,6 +193,8 @@ def main() -> None:
         bf16=not args.no_amp,
         augment=not args.no_augment,
         steps_per_epoch=steps_per_epoch,
+        device_preprocess=args.preprocess == "device",
+        imgsz=args.imgsz,
     )
     trainer = Trainer(model, cfg, mesh=mesh)
     key = jax.random.PRNGKey(args.seed)
@@ -221,12 +231,23 @@ def main() -> None:
             )
         else:
             eval_predictor.update_params(model.params)
-        dets, _ = eval_predictor.run_batch(jnp.asarray(batch.images[:1]))
-        d = np.asarray(dets)[0]
+        if hasattr(batch, "canvas"):
+            # Device-preprocess batch: letterboxed pixels only exist on
+            # device. Snapshot from the RAW first image (crop of the canvas)
+            # through the predictor's full pipeline; boxes come back in
+            # original-image coordinates.
+            h, w = (int(v) for v in batch.hw[0])
+            raw = np.ascontiguousarray(batch.canvas[0, :h, :w], np.uint8)
+            d = eval_predictor.predict_images([raw])[0]
+            bgr_src = raw
+        else:
+            dets, _ = eval_predictor.run_batch(jnp.asarray(batch.images[:1]))
+            d = np.asarray(dets)[0]
+            bgr_src = np.asarray(batch.images[0], np.uint8)
         d = d[d[:, 4] > args.viz_conf]
         viz_dir = out_dir / "viz"
         viz_dir.mkdir(parents=True, exist_ok=True)
-        bgr = cv2.cvtColor(np.asarray(batch.images[0], np.uint8), cv2.COLOR_RGB2BGR)
+        bgr = cv2.cvtColor(bgr_src, cv2.COLOR_RGB2BGR)
         path = str(viz_dir / f"step{trainer.global_step:06d}.jpg")
         cv2.imwrite(path, draw_detections(bgr, d, class_names))
         log.info(f"[viz] saved: {path}")

@@ -40,7 +40,12 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--dtype", choices=["float32", "bf16"], default="float32")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--save-detections", default=None)
-    p.add_argument("--viz-dir", default=None, help="save annotated letterboxed images here")
+    p.add_argument(
+        "--viz-dir", default=None,
+        help="save annotated images here (letterboxed pixels under host "
+        "preprocessing; original images with unletterboxed boxes under "
+        "--preprocess device, where the letterboxed pixels stay on device)",
+    )
     p.add_argument("--viz-conf", type=float, default=0.25)
     p.add_argument("--viz-name-mode", choices=["file", "id", "index"], default="file")
     p.add_argument("--measure-fps", action="store_true")
