@@ -20,7 +20,7 @@ import json
 import time
 
 
-def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), chain: int = 16, approx: bool = False) -> dict:
+def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), chain: int = 16, approx: bool = False, dp: int = 0, sp: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,10 +29,27 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
     from leanyolo_tpu.models.yolov10.fold import fold_params
     from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
 
+    # Multi-chip hooks (PERF.md round-3 scaling model): --data-parallel
+    # shards the batch over a 1-D mesh, --spatial-parallel shards H over a
+    # (1, sp) mesh. Input placement is the only sharding annotation needed —
+    # GSPMD propagates it through the jit (params replicate via device_put).
+    mesh = None
+    if dp > 1 or sp > 1:
+        from leanyolo_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_sp_mesh(1, sp) if sp > 1 else pmesh.make_mesh(dp)
+        in_sharding = pmesh.image_sharded(mesh)
+
     model = YOLOv10.create(variant, class_names=[f"c{i}" for i in range(80)])
     cfg = model.cfg
     # BN-folded + RepVGGDW-fused serving params (mathematically equivalent).
-    params = jax.device_put(fold_params(model.params))
+    params = fold_params(model.params)
+    if mesh is not None:
+        from leanyolo_tpu.parallel.mesh import replicated
+
+        params = jax.device_put(params, replicated(mesh))
+    else:
+        params = jax.device_put(params)
 
     def forward(p, images):
         # Params are folded (normalization lives in conv0), the head skips
@@ -67,6 +84,9 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
         # plus a full-res f32->bf16 convert that no production path performs.
         x0 = jnp.asarray(np.random.RandomState(0).randint(0, 256, (bs, imgsz, imgsz, 3), np.uint8))
         x1 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (bs, imgsz, imgsz, 3), np.uint8))
+        if mesh is not None:
+            x0 = jax.device_put(x0, in_sharding)
+            x1 = jax.device_put(x1, in_sharding)
         try:
             float(chained(params, x0, chain))  # compile + warm at the same static n
         except Exception:
@@ -144,10 +164,15 @@ def main() -> None:
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch-sizes", default="32,128")
     p.add_argument("--approx", action="store_true", help="approx_max_k decode (headline stays exact)")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N", help="shard the batch over an N-chip mesh")
+    p.add_argument("--spatial-parallel", type=int, default=0, metavar="N", help="shard image height over an N-chip mesh (bs1-latency axis)")
     args = p.parse_args()
 
     wait_for_backend()
-    r = bench_variant(args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")), approx=args.approx)
+    r = bench_variant(
+        args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")),
+        approx=args.approx, dp=args.data_parallel, sp=args.spatial_parallel,
+    )
     print(
         json.dumps(
             {
@@ -158,6 +183,10 @@ def main() -> None:
                 "detail": {
                     "batch_size": r["best_bs"],
                     "per_batch_size": {str(k): round(v, 2) for k, v in r["per_bs"].items()},
+                    # With --data-parallel/--spatial-parallel the value is
+                    # AGGREGATE mesh throughput, not per-chip.
+                    **({"mesh": {"dp": args.data_parallel, "sp": args.spatial_parallel}}
+                       if (args.data_parallel > 1 or args.spatial_parallel > 1) else {}),
                 },
             }
         )
