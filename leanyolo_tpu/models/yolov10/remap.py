@@ -215,6 +215,11 @@ def torch_sd_to_params(
                 still.remove((path, leaf))
 
     for path, _ in still:
+        if official and path in (("input_subtract",), ("input_divide",)):
+            # Official release files carry no normalization constants — these
+            # leaves are config-owned (set by get_model from the WeightsEntry
+            # metadata, reference registry.py:312-354) and keep their values.
+            continue
         missing.append(path_to_torch_key(path) or ".".join(map(str, path)))
 
     unused_src = [k for k in src if k not in used_src]
