@@ -292,3 +292,54 @@ def test_sqa_plan_lint():
                 assert os.path.exists(path), f"{t['id']}: missing {path}"
         for k, v in (t.get("env") or {}).items():
             assert isinstance(k, str) and v is not None, f"{t['id']}: bad env entry {k!r}"
+
+
+# ------------------------------------------------------- convergence_gate
+
+
+def _hist(losses):
+    return [{"epoch": i + 1, "loss_total": v} for i, v in enumerate(losses)]
+
+
+def test_convergence_gate_two_arms():
+    """Loss arm is backend-insensitive; mAP arm enforces only on the chip.
+    Thresholds are calibrated on the matched CPU/chip 30-epoch runs
+    (reports/convergence-r3-backends.md: ratios 0.030 / 0.021)."""
+    from convergence_gate import evaluate
+
+    healthy = _hist([750.0 * (0.88 ** i) for i in range(30)])
+
+    # Healthy curve + good mAP passes everywhere.
+    for backend in ("cpu", "tpu", "axon"):
+        _, fails = evaluate(healthy, 0.5, backend=backend)
+        assert fails == [], (backend, fails)
+
+    # Chip-level mAP miss: fails on chip backends, informational on CPU
+    # (the 2026-08-19 incident scenario: CPU lands at 0.077).
+    _, fails = evaluate(healthy, 0.077, backend="axon")
+    assert len(fails) == 1 and "mAP50" in fails[0]
+    _, fails = evaluate(healthy, 0.077, backend="cpu")
+    assert fails == []
+
+    # Flat curve fails the loss arm on every backend, even with great mAP.
+    flat = _hist([100.0 - 0.01 * i for i in range(30)])
+    _, fails = evaluate(flat, 0.9, backend="cpu")
+    assert any("did not learn" in f for f in fails)
+
+    # Noisy non-descending curve fails the monotonicity check.
+    noisy = _hist([100.0, 5.0] + [5.0 + (i % 2) for i in range(28)])
+    _, fails = evaluate(noisy, None, backend="cpu")
+    assert any("not descending" in f for f in fails)
+
+
+def test_convergence_gate_cli(tmp_path):
+    from convergence_gate import main as gate_main
+
+    hist = tmp_path / "history.jsonl"
+    hist.write_text("".join(json.dumps(r) + "\n" for r in _hist([750.0 * (0.75 ** i) for i in range(12)])))
+    csvp = tmp_path / "val.csv"
+    csvp.write_text("map_50,map_75\n0.42,0.3\n")
+    assert gate_main(["--history", str(hist), "--val-csv", str(csvp), "--backend", "tpu"]) == 0
+    assert gate_main(["--history", str(hist), "--val-csv", str(csvp), "--backend", "tpu", "--map50-min", "0.6"]) == 1
+    hist.write_text("".join(json.dumps(r) + "\n" for r in _hist([100.0, 99.0, 98.5, 98.4, 98.4])))
+    assert gate_main(["--history", str(hist), "--backend", "cpu"]) == 1
