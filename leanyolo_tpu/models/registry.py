@@ -227,3 +227,53 @@ def load_checkpoint_into(model: YOLOv10, path: str) -> None:
             raise ValueError(f"shape mismatch for '{key}': {arr.shape} vs {np.asarray(leaf).shape}")
         _set_path(new_params, p, arr)
     model.params = new_params
+
+
+def load_checkpoint_transfer(model: YOLOv10, path: str) -> dict:
+    """LENIENT local load for transfer learning: fill every leaf whose key
+    AND shape match, keep fresh init for the rest, return coverage stats.
+
+    The strict loader refuses a checkpoint whose class count differs from
+    the target model — but that is exactly the transfer situation (the
+    reference's flow loads 80-class COCO weights into a 7-class Aquarium
+    model, warning and skipping the nc-dependent head leaves:
+    reference transfer_learn_aquarium.py:394-402 via registry.py:312-354).
+    This is the local-.npz analog; skipped head leaves are then reset by
+    the transfer tool's head_reset anyway.
+    """
+    if path.endswith(".pt") or path.endswith(".pth"):
+        from ..utils.torch_reader import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+        sd.pop("head.dfl.bins", None)
+    else:
+        with np.load(path, allow_pickle=False) as z:
+            sd = {k: z[k] for k in z.files if k != CKPT_META_KEY}
+    import copy
+
+    from .yolov10.remap import _set_path
+
+    new_params = copy.deepcopy(model.params)
+    loaded, skipped, missing = [], [], []
+    for p, leaf in flatten_param_paths(model.params):
+        key = path_to_torch_key(p) or "/".join(map(str, p))
+        if key not in sd:
+            missing.append(key)
+            continue
+        arr = np.asarray(sd[key])
+        if tuple(arr.shape) != tuple(np.asarray(leaf).shape):
+            skipped.append(key)
+            continue
+        _set_path(new_params, p, arr)
+        loaded.append(key)
+    unused = sorted(set(sd) - set(loaded) - set(skipped))
+    total = len(loaded) + len(skipped) + len(missing)
+    if skipped or missing:
+        warnings.warn(
+            f"Transfer load from '{path}': {len(loaded)}/{total} leaves loaded; "
+            f"shape-mismatch (kept fresh init): {skipped[:6]}{'...' if len(skipped) > 6 else ''}; "
+            f"missing: {missing[:4]}",
+            RuntimeWarning,
+        )
+    model.params = new_params
+    return {"loaded": len(loaded), "total": total, "skipped": skipped, "missing": missing, "unused_src": unused}

@@ -117,6 +117,115 @@ def make_learnable_coco(root, *, n_images=240, size=(160, 160), seed=0):
     return img_dir, ann_path
 
 
+def _draw_shape(img, shape, x, y, s, color):
+    import cv2
+
+    if shape == "rect":
+        cv2.rectangle(img, (x, y), (x + s, y + s), color, -1)
+    elif shape == "circle":
+        cv2.circle(img, (x + s // 2, y + s // 2), s // 2, color, -1)
+    elif shape == "triangle":
+        pts = np.asarray([[x + s // 2, y], [x, y + s], [x + s, y + s]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+    elif shape == "ellipse":
+        cv2.ellipse(img, (x + s // 2, y + s // 2), (s // 2, s // 3), 0, 0, 360, color, -1)
+    elif shape == "plus":
+        t = max(2, s // 3)
+        cv2.rectangle(img, (x + (s - t) // 2, y), (x + (s + t) // 2, y + s), color, -1)
+        cv2.rectangle(img, (x, y + (s - t) // 2), (x + s, y + (s + t) // 2), color, -1)
+    elif shape == "ring":
+        cv2.circle(img, (x + s // 2, y + s // 2), s // 2, color, max(2, s // 5))
+    else:
+        raise ValueError(shape)
+
+
+def _make_shape_coco(root, specs, *, n_images, size, seed, min_obj, max_obj, noise_lo, noise_hi, smin, smax):
+    """Shared generator: `specs` = [(class_name, shape, base RGB color), ...]."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    h, w = size
+
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        name = f"img_{i:04d}.jpg"
+        img = rng.randint(noise_lo, noise_hi, (h, w, 3)).astype(np.uint8)
+        for _ in range(int(rng.randint(min_obj, max_obj + 1))):
+            cls = int(rng.randint(0, len(specs)))
+            _, shape, base = specs[cls]
+            s = int(rng.uniform(smin, smax) * min(h, w))
+            x = int(rng.uniform(0, w - s - 1))
+            y = int(rng.uniform(0, h - s - 1))
+            jit = rng.randint(-25, 26, 3)
+            color = tuple(int(np.clip(c + j, 0, 255)) for c, j in zip(base, jit))
+            _draw_shape(img, shape, x, y, s, color)
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": i + 1,
+                    "category_id": cls + 1,
+                    "bbox": [float(x), float(y), float(s + 1), float(s + 1)],
+                    "area": float((s + 1) * (s + 1)),
+                    "iscrowd": 0,
+                }
+            )
+            ann_id += 1
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        images.append({"id": i + 1, "file_name": name, "width": w, "height": h})
+
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": k + 1, "name": spec[0]} for k, spec in enumerate(specs)],
+    }
+    ann_path = os.path.join(root, "annotations.json")
+    with open(ann_path, "w", encoding="utf-8") as f:
+        json.dump(ann, f)
+    return img_dir, ann_path
+
+
+# QT-002 transfer tier distributions (offline analog of the reference's
+# COCO->Aquarium transfer demonstration, reference todo.md:4,
+# tools/transfer_learn_aquarium.py:487-491):
+#
+# A (pretrain): 6 classes, 2-5 objects/image, heavier background noise —
+# "more classes / more clutter". B (target): the 3 familiar shapes in NEW
+# colors, few images — pretrainable low-level features (shape/edge
+# detectors) transfer; the colors and the head do not.
+
+PRETRAIN_SPECS = [
+    ("rect", "rect", (40, 40, 200)),
+    ("circle", "circle", (40, 200, 40)),
+    ("triangle", "triangle", (200, 40, 40)),
+    ("ellipse", "ellipse", (200, 200, 40)),
+    ("plus", "plus", (200, 40, 200)),
+    ("ring", "ring", (40, 200, 200)),
+]
+
+TRANSFER_SPECS = [
+    ("rect", "rect", (230, 140, 20)),  # orange
+    ("circle", "circle", (20, 180, 230)),  # cyan-ish
+    ("triangle", "triangle", (150, 60, 230)),  # violet
+]
+
+
+def make_pretrain_coco(root, *, n_images=240, size=(160, 160), seed=0):
+    return _make_shape_coco(
+        root, PRETRAIN_SPECS, n_images=n_images, size=size, seed=seed,
+        min_obj=2, max_obj=5, noise_lo=70, noise_hi=150, smin=0.14, smax=0.38,
+    )
+
+
+def make_transfer_coco(root, *, n_images=24, size=(160, 160), seed=0):
+    return _make_shape_coco(
+        root, TRANSFER_SPECS, n_images=n_images, size=size, seed=seed,
+        min_obj=1, max_obj=3, noise_lo=90, noise_hi=130, smin=0.18, smax=0.4,
+    )
+
+
 def make_synth_aquarium_tree(root, *, seed=0):
     """Create a raw Kaggle-Aquarium-style extracted tree for prepare_aquarium:
     nested split dirs each holding `_annotations.coco.json` plus images whose

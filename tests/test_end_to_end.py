@@ -239,3 +239,35 @@ def test_dataloader_abandoned_iterator_does_not_leak_producer(tmp_path):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.1)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_checkpoint_transfer_lenient_load(tmp_path):
+    """load_checkpoint_transfer fills every shape-matched leaf across a class-
+    count change and keeps fresh init for the nc-dependent head leaves —
+    the reference's COCO(80)->Aquarium(7) transfer-load semantics
+    (reference tools/transfer_learn_aquarium.py:394-402 via registry.py:312-354)."""
+    from leanyolo_tpu import get_model
+    from leanyolo_tpu.models.registry import load_checkpoint_transfer, save_checkpoint
+
+    src = get_model("yolov10n", weights=None, class_names=[f"c{i}" for i in range(6)], seed=3)
+    path = str(tmp_path / "pre.npz")
+    save_checkpoint(src, path)
+
+    dst = get_model("yolov10n", weights=None, class_names=["x", "y", "z"], seed=9)
+    fresh_head = np.asarray(
+        dst.params["head"]["one2one_cv3"][0]["2"]["w"]
+    ).copy()
+    with pytest.warns(RuntimeWarning, match="Transfer load"):
+        stats = load_checkpoint_transfer(dst, path)
+
+    # Backbone transferred exactly.
+    np.testing.assert_array_equal(
+        np.asarray(dst.params["backbone"]["cv0"]["conv"]["w"]),
+        np.asarray(src.params["backbone"]["cv0"]["conv"]["w"]),
+    )
+    # nc-dependent cls-branch leaves kept fresh init.
+    np.testing.assert_array_equal(
+        np.asarray(dst.params["head"]["one2one_cv3"][0]["2"]["w"]), fresh_head
+    )
+    assert stats["loaded"] > 0 and stats["skipped"], stats
+    assert all("cv3" in k or "dfl" in k for k in stats["skipped"]), stats["skipped"]

@@ -134,7 +134,21 @@ def main() -> None:
     log.info(f"classes: {class_names}")
 
     weights = None if args.weights in (None, "none", "None", "") else args.weights
-    model = get_model(args.model, weights=weights, class_names=class_names, seed=args.seed)
+    if weights is not None and Path(weights).is_file():
+        # Local pretrained checkpoint: LENIENT transfer load — a pretrain
+        # run's class count need not match the target dataset's (the nc-
+        # dependent head leaves keep fresh init and are reset below anyway),
+        # mirroring the reference's COCO(80)->Aquarium(7) semantics.
+        from leanyolo_tpu.models.registry import load_checkpoint_transfer
+
+        model = get_model(args.model, weights=None, class_names=class_names, seed=args.seed)
+        stats = load_checkpoint_transfer(model, weights)
+        log.info(
+            f"transfer init from {weights}: {stats['loaded']}/{stats['total']} leaves loaded, "
+            f"{len(stats['skipped'])} shape-mismatched kept fresh"
+        )
+    else:
+        model = get_model(args.model, weights=weights, class_names=class_names, seed=args.seed)
     if not args.no_head_reset:
         model.params["head"] = head_init(
             jax.random.PRNGKey(args.seed + 1), model.nc, model.cfg.neck_out, model.cfg.reg_max
