@@ -11,7 +11,7 @@ from tensorflow.tsl.profiler.protobuf import xplane_pb2
 top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
-paths = sorted(glob.glob("/tmp/lyt_prof/**/*.xplane.pb", recursive=True))
+paths = sorted(glob.glob("/tmp/leanyolo_tpu_prof/**/*.xplane.pb", recursive=True))
 xs = xplane_pb2.XSpace()
 with open(paths[-1], "rb") as f:
     xs.ParseFromString(f.read())
