@@ -63,7 +63,11 @@ def main():
         x = jax.lax.fori_loop(0, n, body, images)
         return jnp.sum(x[0, 0, 0].astype(jnp.float32))
 
-    for bs in (1, 4, 8):
+    # bs1 only: the chain-length sweep (run with 64 then 256) separates true
+    # per-step latency from the fixed per-call host/tunnel overhead —
+    # wall(n) = overhead + n*step — which round 2's chain=16 measurement
+    # smeared into its 2.89 ms "per-step" number.
+    for bs in (1,):
         x0 = jnp.asarray(np.random.RandomState(0).randint(0, 256, (bs, 640, 640, 3), np.uint8))
         x1 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (bs, 640, 640, 3), np.uint8))
 
@@ -79,15 +83,20 @@ def main():
         print(f"bs{bs} default: {r_default:.3f} ms/step = {r_default / bs:.3f} ms/img", flush=True)
 
         # --- auto leg: compile with AUTO param layouts, stage params into them ---
+        # (pjit rejects kwargs/static args when in_shardings is given — close
+        # over the chain length instead.)
         auto_fmt = Format(Layout.AUTO)
         fmts = jax.tree.map(lambda _: auto_fmt, params_host)
-        jfn = jax.jit(chained, static_argnames=("n",), in_shardings=(fmts, None))
-        compiled = jfn.lower(params_host, x0, n=CHAIN).compile()
+        jfn = jax.jit(lambda p, images: chained.__wrapped__(p, images, CHAIN),
+                      in_shardings=(fmts, None))
+        compiled = jfn.lower(params_host, x0).compile()
         in_fmts = compiled.input_formats[0]  # (params_fmts, image_fmt)
         p_auto = jax.device_put(params_host, in_fmts[0])
-        float(jfn(p_auto, x0, n=CHAIN))
+        # call the AOT executable: __call__ on the jit wrapper re-validates
+        # in_shardings=AUTO against concrete layouts and rejects them.
+        float(compiled(p_auto, x0))
         t0 = time.perf_counter()
-        s = float(jfn(p_auto, x1, n=CHAIN))
+        s = float(compiled(p_auto, x1))
         dt = (time.perf_counter() - t0) / CHAIN
         assert np.isfinite(s)
         r_auto = dt * 1e3
@@ -98,6 +107,34 @@ def main():
         )
         print(f"bs{bs} auto:    {r_auto:.3f} ms/step = {r_auto / bs:.3f} ms/img "
               f"({n_changed} param layouts differ from default)", flush=True)
+
+        # --- bf16 pre-cast leg: remove the per-call f32->bf16 weight casts.
+        # conv2d/bias do w.astype(x.dtype); pre-casting is the same
+        # round-to-nearest-even, so outputs are bitwise identical and the 85
+        # convert ops (plus their sequencer gaps) vanish from the program.
+        params_bf16 = jax.tree.map(
+            lambda w: w.astype(jnp.bfloat16) if w.dtype == jnp.float32 else w, params_host)
+        p_b16 = jax.device_put(params_bf16)
+        float(chained(p_b16, x0, CHAIN))
+        t0 = time.perf_counter()
+        s = float(chained(p_b16, x1, CHAIN))
+        dt = (time.perf_counter() - t0) / CHAIN
+        assert np.isfinite(s)
+        print(f"bs{bs} bf16:    {dt * 1e3:.3f} ms/step = {dt * 1e3 / bs:.3f} ms/img", flush=True)
+
+        # --- bf16 + AUTO layouts combined ---
+        fmts_b = jax.tree.map(lambda _: auto_fmt, params_bf16)
+        jfn_b = jax.jit(lambda p, images: chained.__wrapped__(p, images, CHAIN),
+                        in_shardings=(fmts_b, None))
+        compiled_b = jfn_b.lower(params_bf16, x0).compile()
+        in_fmts_b = compiled_b.input_formats[0]
+        p_b16a = jax.device_put(params_bf16, in_fmts_b[0])
+        float(compiled_b(p_b16a, x0))
+        t0 = time.perf_counter()
+        s = float(compiled_b(p_b16a, x1))
+        dt = (time.perf_counter() - t0) / CHAIN
+        assert np.isfinite(s)
+        print(f"bs{bs} bf16+auto: {dt * 1e3:.3f} ms/step = {dt * 1e3 / bs:.3f} ms/img", flush=True)
 
 
 if __name__ == "__main__":

@@ -33,8 +33,11 @@ class Predictor:
         model: a YOLOv10 wrapper (cfg + params).
         imgsz: square letterbox size (must be stride-32 divisible).
         decode: 'topk' | 'nms'.
-        dtype: compute dtype ('float32' or 'bfloat16'); params stay fp32,
-            activations are cast — conv accumulation is fp32 on the MXU.
+        dtype: compute dtype ('float32' or 'bfloat16'); params stay fp32
+            and activations are cast — conv accumulation is fp32 on the
+            MXU. With fuse=True + bfloat16 the folded weights are pre-cast
+            once instead (bitwise-identical results, no per-call weight
+            converts in the compiled program).
     """
 
     def __init__(
@@ -58,7 +61,12 @@ class Predictor:
             from ..models.yolov10.fold import fold_params
             from ..models.yolov10.model import YOLOv10 as _Y
 
-            model = _Y(cfg=model.cfg, class_names=model.class_names, params=fold_params(model.params))
+            # bf16 serving pre-casts the folded weights once (bitwise equal
+            # to the per-call w.astype the apply fns do; see fold_params) so
+            # the compiled program carries no weight-convert ops per call.
+            cast = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else None
+            model = _Y(cfg=model.cfg, class_names=model.class_names,
+                       params=fold_params(model.params, dtype=cast))
         self.model = model
         self.imgsz = int(imgsz)
         self.decode = decode
@@ -202,10 +210,12 @@ class Predictor:
             # Staging ordinary unfolded weights would silently skip
             # normalization and double-count BN. fold_params is idempotent
             # (tests/test_fold.py), so already-folded input passes through
-            # bit-identically.
+            # bit-identically. The dtype pre-cast must match __init__'s or
+            # the new avals would force a retrace of the compiled program.
             from ..models.yolov10.fold import fold_params
 
-            params = fold_params(params)
+            cast = self.dtype if self.dtype == jnp.bfloat16 else None
+            params = fold_params(params, dtype=cast)
         if self._param_sharding is None:
             self._params = jax.device_put(params)
         else:

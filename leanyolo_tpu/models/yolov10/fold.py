@@ -87,12 +87,36 @@ def _fold_norm_into_stem(params: Params) -> Params:
     return params
 
 
-def fold_params(tree: Any, *, fold_norm: bool = True) -> Any:
-    """Recursively fold a full model parameter tree for serving."""
+def fold_params(tree: Any, *, fold_norm: bool = True, dtype: Any = None) -> Any:
+    """Recursively fold a full model parameter tree for serving.
+
+    `dtype` (e.g. jnp.bfloat16) pre-casts every float32 leaf AFTER folding
+    (folding math stays f32). For the folded tree this is bitwise-identical
+    to the per-call `w.astype(x.dtype)` the apply functions do — same
+    round-to-nearest-even — but removes the ~85 convert ops (and, per-call,
+    their dispatch cost) from every compiled serving program. Only valid on
+    the folded tree: the UNFUSED path computes BN's rsqrt(var+eps)*scale in
+    f32 first, where a pre-cast would change the math.
+    """
     out = _fold_tree(tree)
     if fold_norm and isinstance(out, dict) and "input_subtract" in out:
         out = _fold_norm_into_stem(out)
+    if dtype is not None:
+        out = _cast_float_leaves(out, dtype)
     return out
+
+
+def _cast_float_leaves(tree: Any, dtype: Any) -> Any:
+    if isinstance(tree, dict):
+        return {k: _cast_float_leaves(v, dtype) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_cast_float_leaves(v, dtype) for v in tree]
+    arr = np.asarray(tree)
+    if arr.dtype == np.float32:
+        import jax.numpy as jnp
+
+        return jnp.asarray(tree).astype(dtype)
+    return tree
 
 
 def _fold_tree(tree: Any) -> Any:

@@ -99,3 +99,63 @@ def test_fused_predictor_update_params_refolds():
     fused.update_params(ref.params)
     got2, _ = fused.run_batch(x)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
+
+
+def test_fold_dtype_precast_bitwise_identical():
+    """fold_params(dtype=bf16) must be BITWISE equal to the per-call
+    w.astype(x.dtype) path on the folded tree (same round-to-nearest-even),
+    so bf16 serving can stage weights once with zero numeric change.
+    (Only the folded tree: unfused BN computes rsqrt(var+eps)*scale in f32.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.models.yolov10.fold import fold_params
+    from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
+
+    model = YOLOv10.create("yolov10n", class_names=[f"c{i}" for i in range(3)], seed=3)
+    f32 = fold_params(model.params)
+    b16 = fold_params(model.params, dtype=jnp.bfloat16)
+
+    # Every float leaf is staged bf16 (shape/tree unchanged).
+    l32, t32 = jax.tree.flatten(f32)
+    l16, t16 = jax.tree.flatten(b16)
+    assert t32 == t16
+    assert all(b.dtype == jnp.bfloat16 for a, b in zip(l32, l16)
+               if np.asarray(a).dtype == np.float32)
+
+    x = jnp.asarray(
+        np.random.RandomState(1).randint(0, 256, (2, 64, 64, 3), np.uint8)
+    ).astype(jnp.bfloat16)
+    fwd = jax.jit(lambda p, xx: model_apply(p, xx, model.cfg, train=False,
+                                            normalize=False)["one2one"][0])
+    a = np.asarray(fwd(f32, x), np.float32)
+    b = np.asarray(fwd(b16, x), np.float32)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_bf16_predictor_staged_and_update_keeps_dtype():
+    """fuse=True + bfloat16 stages folded weights in bf16, and update_params
+    restages in bf16 (a dtype flip would retrace the compiled program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from leanyolo_tpu.engine.predictor import Predictor
+    from leanyolo_tpu.models.yolov10.model import YOLOv10
+
+    m = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=0)
+    pred = Predictor(m, imgsz=64, decode="topk", dtype="bfloat16", fuse=True, donate=False)
+
+    def float_leaf_dtypes(tree):
+        return {str(a.dtype) for a in jax.tree.leaves(tree)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)}
+
+    assert float_leaf_dtypes(pred.params) == {"bfloat16"}
+
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (1, 64, 64, 3), np.uint8))
+    d1, _ = pred.run_batch(x)
+
+    m2 = YOLOv10.create("yolov10n", class_names=["a", "b"], seed=9)
+    pred.update_params(m2.params)  # unfolded f32 in -> folded bf16 staged
+    assert float_leaf_dtypes(pred.params) == {"bfloat16"}
+    d2, _ = pred.run_batch(x)
+    assert np.asarray(d2).shape == np.asarray(d1).shape
