@@ -92,26 +92,39 @@ def test_val_data_parallel_batch_mismatch(monkeypatch, tmp_path):
         )
 
 
-def test_val_viz_with_device_preprocess_rejected(monkeypatch, tmp_path):
+def test_val_viz_with_device_preprocess_renders_originals(monkeypatch, tmp_path):
+    """Round 2 REFUSED viz under device preprocessing (letterboxed pixels
+    stay on device); round 3 lifted it — viz renders on the ORIGINAL images
+    with unletterboxed boxes. This was a negative test; now it asserts the
+    positive contract: the run succeeds and writes one viz file per image."""
     import json
 
+    import cv2
+    import numpy as np
+
+    (tmp_path / "x.jpg").parent.mkdir(exist_ok=True, parents=True)
+    cv2.imwrite(str(tmp_path / "x.jpg"), np.random.RandomState(0).randint(0, 255, (32, 48, 3)).astype(np.uint8))
     ann = {
-        "images": [{"id": 1, "file_name": "x.jpg", "width": 32, "height": 32}],
-        "annotations": [],
+        "images": [{"id": 1, "file_name": "x.jpg", "width": 48, "height": 32}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [4, 4, 16, 12], "area": 192, "iscrowd": 0}
+        ],
         "categories": [{"id": 1, "name": "a"}],
     }
     ann_path = tmp_path / "ann.json"
     ann_path.write_text(json.dumps(ann))
-    with pytest.raises(ValueError, match="preprocess"):
-        _run(
-            "val",
-            [
-                "val.py", "--model", "yolov10n", "--weights", "none",
-                "--images-dir", str(tmp_path), "--ann-json", str(ann_path),
-                "--imgsz", "64", "--preprocess", "device", "--viz-dir", str(tmp_path / "viz"),
-            ],
-            monkeypatch,
-        )
+    viz_dir = tmp_path / "viz"
+    _run(
+        "val",
+        [
+            "val.py", "--model", "yolov10n", "--weights", "none",
+            "--images-dir", str(tmp_path), "--ann-json", str(ann_path),
+            "--imgsz", "64", "--preprocess", "device", "--viz-dir", str(viz_dir),
+        ],
+        monkeypatch,
+    )
+    out = list(viz_dir.glob("*.jpg")) + list(viz_dir.glob("*.png"))
+    assert len(out) == 1, f"expected one viz image, got {out}"
 
 
 def test_train_resume_without_state(monkeypatch, tmp_path):
