@@ -42,8 +42,10 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
 
     model = YOLOv10.create(variant, class_names=[f"c{i}" for i in range(80)])
     cfg = model.cfg
-    # BN-folded + RepVGGDW-fused serving params (mathematically equivalent).
-    params = fold_params(model.params)
+    # BN-folded + RepVGGDW-fused serving params (mathematically equivalent),
+    # staged bf16 like the product Predictor (fuse+bf16) — bitwise-identical
+    # to per-use casts (fold.py), no weight-convert ops per call.
+    params = fold_params(model.params, dtype=jnp.bfloat16)
     if mesh is not None:
         from leanyolo_tpu.parallel.mesh import replicated
 
@@ -100,6 +102,64 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
         if ips > best_ips:
             best_ips, best_bs = ips, bs
     return {"best_ips": best_ips, "best_bs": best_bs, "per_bs": results}
+
+
+def bench_latency(variant: str = "yolov10s", imgsz: int = 640, chains=(64, 256)) -> dict:
+    """Single-image serving latency via a chain-length sweep.
+
+    A single wall/step at one chain length conflates the fixed per-CALL
+    host overhead (25-50 ms through the axon tunnel, varies run-to-run)
+    with the true per-step device latency. Fit wall(n) = overhead + n*step
+    over two chain lengths instead (PERF.md "Single-image latency,
+    revisited"). Reuses bench_variant's chained harness at bs=1.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from functools import partial
+
+    from leanyolo_tpu.models.yolov10.decode import decode_topk
+    from leanyolo_tpu.models.yolov10.fold import fold_params
+    from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
+
+    model = YOLOv10.create(variant, class_names=[f"c{i}" for i in range(80)])
+    cfg = model.cfg
+    params = jax.device_put(fold_params(model.params, dtype=jnp.bfloat16))
+
+    def forward(p, images):
+        raw = model_apply(
+            p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",),
+            normalize=False, concat_head=False,
+        )
+        return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chained(p, images, n):
+        def body(_, x):
+            dets = forward(p, x)
+            return x + (jnp.tanh(jnp.sum(dets)) * 1e-30).astype(x.dtype)
+
+        x = jax.lax.fori_loop(0, n, body, images)
+        return jnp.sum(x[0, 0, 0].astype(jnp.float32))
+
+    x0 = jnp.asarray(np.random.RandomState(0).randint(0, 256, (1, imgsz, imgsz, 3), np.uint8))
+    x1 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (1, imgsz, imgsz, 3), np.uint8))
+    walls = {}
+    for n in chains:
+        float(chained(params, x0, n))  # compile + warm at the same static n
+        t0 = time.perf_counter()
+        s = float(chained(params, x1, n))
+        walls[n] = time.perf_counter() - t0
+        assert np.isfinite(s)
+    n1, n2 = min(chains), max(chains)
+    step_ms = (walls[n2] - walls[n1]) / (n2 - n1) * 1e3
+    overhead_ms = walls[n1] * 1e3 - n1 * step_ms
+    return {
+        "step_ms": step_ms,
+        "per_call_overhead_ms": overhead_ms,
+        "wall_ms_per_step": {str(n): walls[n] / n * 1e3 for n in chains},
+    }
 
 
 def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 120.0) -> None:
@@ -166,9 +226,30 @@ def main() -> None:
     p.add_argument("--approx", action="store_true", help="approx_max_k decode (headline stays exact)")
     p.add_argument("--data-parallel", type=int, default=0, metavar="N", help="shard the batch over an N-chip mesh")
     p.add_argument("--spatial-parallel", type=int, default=0, metavar="N", help="shard image height over an N-chip mesh (bs1-latency axis)")
+    p.add_argument("--latency", action="store_true",
+                   help="bs1 serving latency via chain-length sweep (fits out the per-call overhead)")
     args = p.parse_args()
 
     wait_for_backend()
+    # Persistent, host-fingerprinted compile cache (utils/compile_cache.py):
+    # a full-model chained program costs minutes to compile through the axon
+    # plugin; caching only skips compilation, never the timed execution.
+    from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    if args.latency:
+        r = bench_latency(args.variant, args.imgsz)
+        print(json.dumps({
+            "metric": f"{args.variant}_{args.imgsz}_bf16_bs1_latency_ms",
+            "value": round(r["step_ms"], 3),
+            "unit": "ms/image",
+            "vs_baseline": round(r["step_ms"], 3),
+            "detail": {
+                "per_call_overhead_ms": round(r["per_call_overhead_ms"], 1),
+                "wall_ms_per_step_by_chain": {k: round(v, 3) for k, v in r["wall_ms_per_step"].items()},
+            },
+        }))
+        return
     r = bench_variant(
         args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")),
         approx=args.approx, dp=args.data_parallel, sp=args.spatial_parallel,

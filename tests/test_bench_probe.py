@@ -10,6 +10,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import numpy as np
+
 import bench  # noqa: E402
 
 
@@ -63,3 +65,14 @@ def test_deterministic_error_fails_fast(monkeypatch):
     with pytest.raises(RuntimeError, match="deterministically"):
         bench.wait_for_backend(max_wait_s=600.0, probe_timeout_s=1.0)
     assert len(calls) == 1, "deterministic failures must not burn the retry budget"
+
+
+def test_bench_latency_fit_smoke():
+    """bench_latency runs the real chained program at tiny size on CPU and
+    the fit arithmetic (wall(n) = overhead + n*step) returns sane numbers."""
+    r = bench.bench_latency("yolov10n", imgsz=64, chains=(2, 6))
+    # Plumbing only: CPU wall-time at tiny chains is too noisy to bound the
+    # fit itself (the chip run is the measurement; PERF.md bs1 section).
+    assert np.isfinite(r["step_ms"]) and r["step_ms"] > 0
+    assert np.isfinite(r["per_call_overhead_ms"])
+    assert set(r["wall_ms_per_step"]) == {"2", "6"}
