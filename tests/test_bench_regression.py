@@ -79,7 +79,17 @@ def test_cli_exit_codes(tmp_path, capsys):
 def test_tracked_baseline_compares_clean_against_itself():
     """The committed baseline must stay loadable and self-consistent (the
     PT-001 gate compares fresh runs against exactly this file)."""
-    path = REPO / "reports" / "bench_matrix_r2final.json"
+    path = REPO / "reports" / "bench_matrix_r3.json"
     base = json.loads(path.read_text(encoding="utf-8"))
     rows, failures = compare(base, base, 0.05)
+    assert failures == [] and len(rows) == 12
+
+
+def test_r3_baseline_within_gate_of_r2():
+    """Continuity check across rounds: the refreshed r3 baseline must itself
+    pass the 5% gate against the retained r2 baseline — a baseline refresh
+    must never be a vehicle for sneaking in a regression."""
+    r2 = json.loads((REPO / "reports" / "bench_matrix_r2final.json").read_text(encoding="utf-8"))
+    r3 = json.loads((REPO / "reports" / "bench_matrix_r3.json").read_text(encoding="utf-8"))
+    rows, failures = compare(r2, r3, 0.05)
     assert failures == [] and len(rows) == 12
