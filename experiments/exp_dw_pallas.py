@@ -108,16 +108,22 @@ def timed(fn, x, w, b, chain: int) -> float:
     def chained(x0, w_, b_, n):
         def body(_, xc):
             y = fn(xc, w_, b_)
-            return y  # same shape: the output feeds the next iteration
+            # Renormalize to unit variance so the data dependence stays
+            # non-degenerate over long chains (with 0.1-scaled weights the
+            # activations otherwise decay toward zero; TPU timing is
+            # data-independent, but keep the chained values meaningful).
+            return y / jnp.sqrt(jnp.mean(jnp.square(y.astype(jnp.float32))) + 1e-6).astype(y.dtype)
         out = jax.lax.fori_loop(0, n, body, x0)
         return jnp.sum(out[0, 0, 0].astype(jnp.float32))
 
     float(chained(x, w, b, chain))  # compile + warm
-    t0 = time.perf_counter()
-    s = float(chained(x, w, b, chain))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    return dt / chain
+    best = float("inf")
+    for _ in range(3):  # min over repeats: one sample is noise-prone
+        t0 = time.perf_counter()
+        s = float(chained(x, w, b, chain))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(s)
+    return best / chain
 
 
 def main():
