@@ -20,12 +20,15 @@ import json
 import time
 
 
-def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), chain: int = 16, approx: bool = False, dp: int = 0, sp: int = 0) -> dict:
+def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 128), chain: int = 16, approx: bool = False, dp: int = 0, sp: int = 0, decode: str = "topk") -> dict:
+    """decode: 'topk' (headline NMS-free path) or 'nms' (class-wise greedy NMS,
+    BASELINE config 3: conf 0.25 / IoU 0.45 / pre_topk 1000, class_wise=True —
+    behavioral spec reference: leanyolo/models/yolov10/export.py:145-198)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from leanyolo_tpu.models.yolov10.decode import decode_topk
+    from leanyolo_tpu.models.yolov10.decode import decode_nms, decode_topk
     from leanyolo_tpu.models.yolov10.fold import fold_params
     from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
 
@@ -61,6 +64,13 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
             p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",),
             normalize=False, concat_head=False,
         )
+        if decode == "nms":
+            dets, num = decode_nms(
+                raw["one2one"], num_classes=80, strides=cfg.strides,
+                conf_thresh=0.25, iou_thresh=0.45, max_det=300,
+                pre_topk=1000, class_wise=True,
+            )
+            return dets + num[:, None, None].astype(dets.dtype) * 0.0
         return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300, approx=approx)
 
     from functools import partial
@@ -224,6 +234,8 @@ def main() -> None:
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch-sizes", default="32,128")
     p.add_argument("--approx", action="store_true", help="approx_max_k decode (headline stays exact)")
+    p.add_argument("--decode", default="topk", choices=("topk", "nms"),
+                   help="decode path: topk (NMS-free headline) or nms (class-wise greedy NMS, BASELINE config 3)")
     p.add_argument("--data-parallel", type=int, default=0, metavar="N", help="shard the batch over an N-chip mesh")
     p.add_argument("--spatial-parallel", type=int, default=0, metavar="N", help="shard image height over an N-chip mesh (bs1-latency axis)")
     p.add_argument("--latency", action="store_true",
@@ -252,12 +264,13 @@ def main() -> None:
         return
     r = bench_variant(
         args.variant, args.imgsz, tuple(int(b) for b in args.batch_sizes.split(",")),
-        approx=args.approx, dp=args.data_parallel, sp=args.spatial_parallel,
+        approx=args.approx, dp=args.data_parallel, sp=args.spatial_parallel, decode=args.decode,
     )
+    decode_tag = "" if args.decode == "topk" else f"_{args.decode}"
     print(
         json.dumps(
             {
-                "metric": f"{args.variant}_{args.imgsz}_bf16_images_per_sec_per_chip",
+                "metric": f"{args.variant}_{args.imgsz}_bf16{decode_tag}_images_per_sec_per_chip",
                 "value": round(r["best_ips"], 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(r["best_ips"] / 1.0, 2),

@@ -47,32 +47,18 @@ def _topk(x: jnp.ndarray, k: int, approx: bool):
     return topk_lastdim(x, k)  # exact; 5-12x faster than lax.top_k's lowering
 
 
-def _flatten_levels(preds: Sequence[jnp.ndarray], num_classes: int, strides: Sequence[int]):
-    """Concat levels -> (flat [B, A, C], anchors [A, 2], stride [A, 1], reg_max)."""
+def _flatten_levels(preds: Sequence, num_classes: int, strides: Sequence[int]):
+    """Concat levels -> (flat [B, A, C], anchors [A, 2], stride [A, 1], reg_max).
+
+    Accepts either [B, H, W, 4R+nc] maps or (reg, cls) tuples from
+    `model_apply(concat_head=False)` (the tuple form skips the head-side
+    concat; the level concat happens here instead, same values).
+    """
     assert len(preds) == len(strides)
-    b = preds[0].shape[0]
-    c_total = preds[0].shape[-1]
-    reg_max = (c_total - num_classes) // 4
-    assert 4 * reg_max + num_classes == c_total, "invalid DFL channel layout"
-    hw_shapes = [(p.shape[1], p.shape[2]) for p in preds]
+    levels, hw_shapes, reg_max = _split_levels(list(preds), num_classes)
     anchors, stride_t = make_anchors(hw_shapes, strides, dtype=jnp.float32)
-    flat = jnp.concatenate([p.reshape(b, -1, c_total) for p in preds], axis=1)
+    flat = jnp.concatenate([jnp.concatenate([reg, cls], axis=-1) for reg, cls in levels], axis=1)
     return flat, anchors, stride_t, reg_max
-
-
-def _decode_boxes_at(
-    flat: jnp.ndarray,  # [B, A, C]
-    anchor_idx: jnp.ndarray,  # [B, k]
-    anchors: jnp.ndarray,  # [A, 2]
-    stride_t: jnp.ndarray,  # [A, 1]
-    reg_max: int,
-) -> jnp.ndarray:
-    """DFL expectation + dist2bbox only for the selected anchors -> [B, k, 4]."""
-    box_logits = jnp.take_along_axis(flat[..., : 4 * reg_max], anchor_idx[..., None], axis=1)
-    dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)  # [B, k, 4]
-    sel_anchors = anchors[anchor_idx]  # [B, k, 2]
-    sel_strides = stride_t[anchor_idx]  # [B, k, 1]
-    return dist2bbox(dist, sel_anchors, xywh=False) * sel_strides
 
 
 def _flatten_pyramid(preds: Sequence[jnp.ndarray], num_classes: int, strides: Sequence[int]):
@@ -196,13 +182,24 @@ def decode_topk(
     # at bs128); the dense expectation fuses into the head conv epilogues and
     # the gather source shrinks 16x. Per-anchor math (and therefore results)
     # is identical to decoding after the gather.
-    boxes_per_level = []
+    final_boxes = _gather_levels(
+        _boxes_per_level(levels, hw_shapes, strides, reg_max), final_anchor_idx
+    )  # [B, k, 4]
+    return jnp.concatenate([final_boxes, scores[..., None], cls_idx[..., None]], axis=-1)
+
+
+def _boxes_per_level(levels, hw_shapes, strides, reg_max):
+    """Dense per-level DFL + box decode -> list of [B, HW_l, 4] pixel boxes.
+
+    The dense expectation fuses into the head conv epilogues and shrinks the
+    subsequent gather source 16x vs gathering raw 4*reg_max logit rows
+    (see decode_topk's in-line measurement notes)."""
+    out = []
     for (reg, _), (h, w), s in zip(levels, hw_shapes, strides):
         anchors_l, _ = make_anchors([(h, w)], [s], dtype=jnp.float32)  # [HW, 2]
         dist_l = dfl_expectation(reg.astype(jnp.float32), reg_max)  # [B, HW, 4]
-        boxes_per_level.append(dist2bbox(dist_l, anchors_l[None], xywh=False) * float(s))
-    final_boxes = _gather_levels(boxes_per_level, final_anchor_idx)  # [B, k, 4]
-    return jnp.concatenate([final_boxes, scores[..., None], cls_idx[..., None]], axis=-1)
+        out.append(dist2bbox(dist_l, anchors_l[None], xywh=False) * float(s))
+    return out
 
 
 def _nms_single(
@@ -277,24 +274,48 @@ def decode_nms(
         detections: [B, max_det, 6]; invalid rows zeroed.
         num_dets: [B] int32 count of valid rows (valid rows come first).
     """
-    flat, anchors, stride_t, reg_max = _flatten_levels(list(preds), num_classes, strides)
-    cls_logits = flat[..., 4 * reg_max :]
-    b, a, nc = cls_logits.shape
+    levels, hw_shapes, reg_max = _split_levels(list(preds), num_classes)
+    b = levels[0][0].shape[0]
+    a = sum(h * w for h, w in hw_shapes)
+    nc = num_classes
 
+    # Candidate selection runs entirely PER LEVEL (the [B, A, 4R+nc] level
+    # concat of the reference formulation never materializes — at bs128/640px
+    # that array is ~310 MB of pure HBM traffic; the per-level reductions fuse
+    # into the head conv epilogues instead).
     if multi_label:
+        # Export-wrapper semantics (reference export.py:149-156): top (anchor,
+        # class) pairs over all levels. Per-level top-k in GLOBAL pair index,
+        # then an exact [B, 3k]-wide merge.
         k_pre = min(pre_topk, a * nc)
-        cand_logits, pre_idx = _topk(cls_logits.reshape(b, a * nc), k_pre, approx)
+        merged_logits, merged_pair = [], []
+        off = 0
+        for _, cls in levels:
+            hw = cls.shape[1]
+            k_l = min(k_pre, hw * nc)
+            v, p = _topk(cls.reshape(b, hw * nc), k_l, approx)
+            merged_logits.append(v)
+            merged_pair.append((p // nc + off) * nc + p % nc)  # global pair idx
+            off += hw
+        cat_logits = jnp.concatenate(merged_logits, axis=1)
+        cat_pair = jnp.concatenate(merged_pair, axis=1)
+        cand_logits, pos = _topk(cat_logits, k_pre, approx)
+        pre_idx = jnp.take_along_axis(cat_pair, pos, axis=1)
         anc_idx = pre_idx // nc
         cand_cls = (pre_idx % nc).astype(jnp.float32)
-        cand_scores = jax.nn.sigmoid(cand_logits.astype(jnp.float32))
     else:
-        best_logits = jnp.max(cls_logits, axis=-1)
-        best_cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.float32)
+        # postprocess.py semantics: one candidate per anchor at its best class.
+        best_logits = jnp.concatenate([jnp.max(cls, axis=-1) for _, cls in levels], axis=1)
+        best_cls = jnp.concatenate(
+            [jnp.argmax(cls, axis=-1).astype(jnp.int32) for _, cls in levels], axis=1
+        )
         k_pre = min(pre_topk, a)
         cand_logits, anc_idx = _topk(best_logits, k_pre, approx)
-        cand_cls = jnp.take_along_axis(best_cls, anc_idx, axis=1)
-        cand_scores = jax.nn.sigmoid(cand_logits.astype(jnp.float32))
-    cand_boxes = _decode_boxes_at(flat, anc_idx, anchors, stride_t, reg_max)  # [B, k_pre, 4]
+        cand_cls = jnp.take_along_axis(best_cls, anc_idx, axis=1).astype(jnp.float32)
+    cand_scores = jax.nn.sigmoid(cand_logits.astype(jnp.float32))
+    cand_boxes = _gather_levels(
+        _boxes_per_level(levels, hw_shapes, strides, reg_max), anc_idx
+    )  # [B, k_pre, 4]
 
     # Offset per class only: batch separation is free because we vmap.
     group_offset = 8192.0 * 10.0

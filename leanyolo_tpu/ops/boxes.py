@@ -144,16 +144,38 @@ def nms_fixed(
     order = jnp.argsort(-scores)
     boxes_s = boxes[order]
     iou = box_iou(boxes_s, boxes_s)
-    suppress_pair = iou > iou_thresh  # [N, N] in sorted order
+    rank = jnp.arange(n)
+    # supp[j, i]: higher-ranked j would suppress i if j survives (strict
+    # upper triangle of the IoU threshold mask, in sorted order).
+    supp = ((iou > iou_thresh) & (rank[:, None] < rank[None, :])).astype(jnp.bfloat16)
 
-    def body(i, alive):
-        # Box i (in sorted order) suppresses lower-ranked overlaps iff alive.
-        row = suppress_pair[i]
-        rank = jnp.arange(n)
-        kill = row & (rank > i) & alive[i]
-        return alive & ~kill
+    # Greedy NMS is the unique fixed point of
+    #     alive[i] = not OR_{j<i} (supp[j, i] and alive[j])
+    # (well-founded recursion over rank order). Jacobi-iterate it to
+    # convergence instead of running an n-trip serial loop: each sweep is one
+    # [n] x [n, n] matvec on the MXU (f32 accumulation of 0/1 values, so the
+    # ==0 test is exact), and after sweep t every box whose suppression-
+    # dependency depth is <= t has its final value (induction: sweep t+1
+    # recomputes from values that are already final for depth <= t). Real
+    # candidate sets converge in a handful of sweeps; the while_loop bound n
+    # guarantees termination at the exact serial-greedy result regardless.
+    # Measured on-chip (PERF.md round 4): 1000-trip serial fori_loop cost
+    # ~10 ms/step at bs128; the sweep form runs in the decode noise floor.
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
 
-    alive = jax.lax.fori_loop(0, n, body, jnp.ones((n,), dtype=bool))
+    def body(state):
+        alive, _, it = state
+        amt = jax.lax.dot_general(
+            alive.astype(jnp.bfloat16), supp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n]: how many live higher-ranked boxes overlap each i
+        new_alive = amt == 0.0
+        return new_alive, jnp.any(new_alive != alive), it + 1
+
+    alive0 = jnp.ones((n,), dtype=bool)
+    alive, _, _ = jax.lax.while_loop(cond, body, (alive0, jnp.array(True), 0))
     # Scatter back to input order.
     keep = jnp.zeros((n,), dtype=bool).at[order].set(alive)
     return keep
