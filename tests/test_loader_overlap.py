@@ -1,0 +1,98 @@
+"""Regression tests for the DataLoader's producer/consumer OVERLAP.
+
+The end-to-end pipeline rate (PERF.md round 4, input-pipeline roofline)
+depends on the loader actually hiding host decode behind device compute:
+a producer thread decodes batch N+1..N+prefetch while the consumer waits on
+the device for batch N. These tests pin that property with sleep-based
+stand-ins (sleeps release the GIL exactly like cv2 decode and device waits
+do), so a refactor that silently serializes the pipeline fails loudly.
+
+Reference counterpart: torch DataLoader(num_workers=2) in
+reference tools/train.py:182-189 / tools/val.py:118-126.
+"""
+
+import time
+
+import numpy as np
+
+from leanyolo_tpu.data.dataset import DataLoader
+
+
+class _SleepDataset:
+    """Items cost `item_s` of GIL-released wall time (like JPEG decode)."""
+
+    def __init__(self, n: int, item_s: float, size: int = 8):
+        self.n = n
+        self.item_s = item_s
+        self.size = size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        time.sleep(self.item_s)
+        img = np.zeros((self.size, self.size, 3), np.uint8)
+        t = {
+            "boxes": np.zeros((0, 4), np.float32),
+            "labels": np.zeros((0,), np.int32),
+            "image_id": i,
+        }
+        return img, t
+
+
+def _drive(loader, consume_s: float) -> float:
+    t0 = time.perf_counter()
+    n = 0
+    for _ in loader:
+        time.sleep(consume_s)  # stand-in for the device step wait
+        n += 1
+    wall = time.perf_counter() - t0
+    assert n == len(loader)
+    return wall
+
+
+def test_producer_hides_item_cost_behind_consumer():
+    """With prefetch + intra-batch worker fan-out, the epoch wall must be far
+    below the serial sum (here: 16 batches x (4 x 30 ms decode + 60 ms step)
+    serial = ~2.9 s; overlapped with 4 workers the decode of a whole batch
+    fits inside one consumer step, so wall ~= 16 x 60 ms + pipeline fill)."""
+    item_s, consume_s, bs, n = 0.03, 0.06, 4, 64
+    ds = _SleepDataset(n, item_s)
+    loader = DataLoader(ds, batch_size=bs, shuffle=False, workers=4, prefetch=2, max_boxes=1)
+    wall = _drive(loader, consume_s)
+    n_batches = n // bs
+    serial = n_batches * (bs * item_s + consume_s)  # no fan-out, no overlap
+    ideal = n_batches * consume_s  # decode fully hidden
+    # Generous margin for a saturated 1-core CI host: demand we beat serial
+    # by at least the decode time of half the batches.
+    assert wall < serial - 0.5 * n_batches * bs * item_s, (wall, serial, ideal)
+
+
+def test_first_batch_available_while_consumer_busy():
+    """The producer must keep filling the queue while the consumer sleeps:
+    after the consumer spends one long step on batch 0, batches 1..prefetch
+    must arrive with ~zero additional wait."""
+    item_s, bs = 0.02, 4
+    ds = _SleepDataset(16, item_s)
+    loader = DataLoader(ds, batch_size=bs, shuffle=False, workers=4, prefetch=3, max_boxes=1)
+    it = iter(loader)
+    next(it)  # pipeline fill
+    time.sleep(0.5)  # consumer "computes"; producer should prefetch 3 batches
+    t0 = time.perf_counter()
+    next(it)
+    next(it)
+    dt = time.perf_counter() - t0
+    for _ in it:
+        pass
+    # Two prefetched batches must be dequeue-only (<< 2 x batch decode time).
+    assert dt < 2 * bs * item_s * 0.5, dt
+
+
+def test_early_break_does_not_hang():
+    ds = _SleepDataset(64, 0.005)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, workers=2, prefetch=2, max_boxes=1)
+    t0 = time.perf_counter()
+    for i, _ in enumerate(loader):
+        if i == 1:
+            break
+    assert time.perf_counter() - t0 < 5.0

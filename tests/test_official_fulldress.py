@@ -96,10 +96,15 @@ def _emit_official_ckpt(sd, path):
     return hashlib.sha256(path.read_bytes()).hexdigest()
 
 
-@pytest.fixture()
-def http_server(tmp_path):
+import contextlib
+
+
+@contextlib.contextmanager
+def _http_server_ctx(tmp_path):
+    """Local HTTP weight fake; yields (serve_dir, base_url). Shared with
+    test_weights_day_rehearsal.py."""
     serve_dir = tmp_path / "serve"
-    serve_dir.mkdir()
+    serve_dir.mkdir(exist_ok=True)
 
     class Handler(SimpleHTTPRequestHandler):
         def __init__(self, *a, **kw):
@@ -111,8 +116,16 @@ def http_server(tmp_path):
     server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    yield serve_dir, f"http://127.0.0.1:{server.server_address[1]}"
-    server.shutdown()
+    try:
+        yield serve_dir, f"http://127.0.0.1:{server.server_address[1]}"
+    finally:
+        server.shutdown()
+
+
+@pytest.fixture()
+def http_server(tmp_path):
+    with _http_server_ctx(tmp_path) as pair:
+        yield pair
 
 
 def _patch_registry(monkeypatch, tmp_path, name, url, sha):

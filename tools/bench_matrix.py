@@ -26,8 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Best measured batch size per variant (PERF.md per-variant tables). A full
 # sweep costs ~1 compile per (variant, bs); the matrix pins the known
 # sweet spots and --batch-sizes overrides when re-sweeping is wanted.
+# "nms" is the class-wise greedy-NMS decode path (BASELINE config 3,
+# behavioral spec reference leanyolo/models/yolov10/export.py:145-198);
+# same forward as "infer", so the same batch sizes apply.
 BEST_BS = {
     "infer": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 128, "yolov10b": 128, "yolov10l": 128, "yolov10x": 32},
+    "nms": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 128, "yolov10b": 128, "yolov10l": 128, "yolov10x": 32},
     "train": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 64, "yolov10b": 64, "yolov10l": 64, "yolov10x": 32},
 }
 
@@ -35,7 +39,7 @@ BEST_BS = {
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--variants", default="yolov10n,yolov10s,yolov10m,yolov10b,yolov10l,yolov10x")
-    p.add_argument("--modes", default="infer,train", help="comma subset of infer,train")
+    p.add_argument("--modes", default="infer,train", help="comma subset of infer,nms,train")
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch-sizes", default=None, help="override: comma list used for every cell")
     p.add_argument("--out", default=None, help="also write the table as JSON here")
@@ -57,6 +61,8 @@ def main() -> None:
             bss = override or (BEST_BS[mode].get(variant, 32),)
             if mode == "infer":
                 r = bench_variant(variant, args.imgsz, batch_sizes=bss)
+            elif mode == "nms":
+                r = bench_variant(variant, args.imgsz, batch_sizes=bss, decode="nms")
             else:
                 r = bench_train(variant, args.imgsz, batch_sizes=bss)
             if not r["per_bs"]:
