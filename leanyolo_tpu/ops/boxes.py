@@ -118,49 +118,30 @@ def box_ciou_paired(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(iou - (rho2 / c2) - alpha * v, 0.0, 1.0)
 
 
-def nms_fixed(
-    boxes: jnp.ndarray,
-    scores: jnp.ndarray,
-    iou_thresh: float,
-) -> jnp.ndarray:
-    """Greedy NMS over a fixed-size candidate set; returns a keep mask.
+def _alive_jacobi(boxes_s: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+    """Greedy-NMS survivors over score-sorted boxes via Jacobi fixed-point.
 
-    Exact greedy semantics of the reference Python-loop NMS
-    (reference: leanyolo/utils/box_ops.py:49-78), recast for the TPU: rather
-    than shrinking arrays, we sort once by score, compute the full [N, N] IoU
-    matrix, and run a fixed-trip-count `fori_loop` that marks survivors. All
-    shapes are static; padded entries should carry score -inf (they simply
-    never suppress anything that outranks them).
+    Greedy NMS is the unique fixed point of
+        alive[i] = not OR_{j<i} (supp[j, i] and alive[j])
+    (well-founded recursion over rank order). Jacobi-iterate it to
+    convergence: each sweep is one [n] x [n, n] matvec on the MXU (f32
+    accumulation of 0/1 values, so the ==0 test is exact), and after sweep t
+    every box whose suppression-dependency depth is <= t has its final value
+    (induction: sweep t+1 recomputes from values already final for depth
+    <= t). The while_loop bound n guarantees exact termination regardless.
 
-    Args:
-        boxes: [N, 4] xyxy (any order).
-        scores: [N] confidence; padding entries should be -inf or very small.
-        iou_thresh: suppression threshold (IoU > thresh removes a box).
-
-    Returns:
-        keep: [N] boolean mask aligned with *input* order.
+    Measured on-chip (PERF.md round 4): LOSES to the blocked substitution —
+    every sweep re-reads the [n, n] suppression matrix from HBM (bs128,
+    n=1000: 256 MB/sweep), so deep suppression chains multiply the traffic.
+    Kept for the measurement record (experiments/exp_nms_schedules.py).
     """
-    n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
+    n = boxes_s.shape[0]
     iou = box_iou(boxes_s, boxes_s)
     rank = jnp.arange(n)
     # supp[j, i]: higher-ranked j would suppress i if j survives (strict
     # upper triangle of the IoU threshold mask, in sorted order).
     supp = ((iou > iou_thresh) & (rank[:, None] < rank[None, :])).astype(jnp.bfloat16)
 
-    # Greedy NMS is the unique fixed point of
-    #     alive[i] = not OR_{j<i} (supp[j, i] and alive[j])
-    # (well-founded recursion over rank order). Jacobi-iterate it to
-    # convergence instead of running an n-trip serial loop: each sweep is one
-    # [n] x [n, n] matvec on the MXU (f32 accumulation of 0/1 values, so the
-    # ==0 test is exact), and after sweep t every box whose suppression-
-    # dependency depth is <= t has its final value (induction: sweep t+1
-    # recomputes from values that are already final for depth <= t). Real
-    # candidate sets converge in a handful of sweeps; the while_loop bound n
-    # guarantees termination at the exact serial-greedy result regardless.
-    # Measured on-chip (PERF.md round 4): 1000-trip serial fori_loop cost
-    # ~10 ms/step at bs128; the sweep form runs in the decode noise floor.
     def cond(state):
         _, changed, it = state
         return changed & (it < n)
@@ -176,8 +157,148 @@ def nms_fixed(
 
     alive0 = jnp.ones((n,), dtype=bool)
     alive, _, _ = jax.lax.while_loop(cond, body, (alive0, jnp.array(True), 0))
+    return alive
+
+
+def _alive_blocked(
+    boxes_s: jnp.ndarray, iou_thresh: float, block: int, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Greedy-NMS survivors via blocked forward-substitution (the shipping
+    schedule).
+
+    The dependency structure alive[i] = !OR_{j<i}(supp[j,i] & alive[j]) is a
+    unit-lower-triangular boolean solve; process rank-ordered candidates in
+    blocks of `block` like a blocked triangular solver:
+
+      per block k (sequential, n/block trips):
+        1. compute this block's IoU rows against ALL candidates on the fly
+           ([m, n] from [m,4] x [n,4] box coords — the full [n, n] matrix is
+           NEVER materialized in HBM),
+        2. solve the [m, m] intra-block recursion by Jacobi sweeps (tiny
+           VMEM-resident matvecs, exact by the same induction as
+           `_alive_jacobi`, bounded by m),
+        3. one [m] x [m, n] MXU matvec adds this block's surviving
+           suppressors into the downstream kill counts.
+
+    Each suppression pair is thus produced and consumed exactly ONCE
+    (vs once per sweep for the global Jacobi form), and the serial depth is
+    n/block trips instead of n. Counts stay exact: 0/1 bf16 operands
+    accumulate in f32 (integers <= n << 2^24).
+
+    `valid` (optional [n] bool): entries marked False are dead from the
+    start — they never survive and never suppress. This is how the decode
+    path expresses conf-masked candidates WITHOUT re-sorting: greedy over a
+    sorted list with dead entries equals greedy over the compacted list.
+    """
+    n = boxes_s.shape[0]
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad > n:
+        # Zero-area padding boxes: IoU is 0 against everything (inter 0 over
+        # union+eps), so they never suppress and never rescue anyone.
+        boxes_s = jnp.pad(boxes_s, ((0, n_pad - n), (0, 0)))
+    if valid is not None and n_pad > n:
+        valid = jnp.pad(valid, (0, n_pad - n))
+    rank = jnp.arange(block)
+    tri = rank[:, None] < rank[None, :]  # strict upper triangle, [m, m]
+    gidx = jnp.arange(n_pad)
+
+    def solve_block(live0, intra):
+        """Exact greedy inside one block; live0 = not externally killed."""
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < block)
+
+        def body(state):
+            a, _, it = state
+            amt = jax.lax.dot_general(
+                a.astype(jnp.bfloat16), intra, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new = live0 & (amt == 0.0)
+            return new, jnp.any(new != a), it + 1
+
+        alive, _, _ = jax.lax.while_loop(cond, body, (live0, jnp.array(True), 0))
+        return alive
+
+    def body(k, state):
+        acc, alive = state  # acc[i]: f32 count of alive higher-rank suppressors
+        start = k * block
+        blk = jax.lax.dynamic_slice_in_dim(boxes_s, start, block, axis=0)
+        supp_blk = (box_iou(blk, boxes_s) > iou_thresh).astype(jnp.bfloat16)  # [m, n_pad]
+        intra = jax.lax.dynamic_slice_in_dim(supp_blk, start, block, axis=1)
+        intra = jnp.where(tri, intra, 0).astype(jnp.bfloat16)
+        live0 = jax.lax.dynamic_slice_in_dim(acc, start, block, axis=0) == 0.0
+        if valid is not None:
+            live0 = live0 & jax.lax.dynamic_slice_in_dim(valid, start, block, axis=0)
+        alive_blk = solve_block(live0, intra)
+        contrib = jax.lax.dot_general(
+            alive_blk.astype(jnp.bfloat16), supp_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n_pad] — counts for every position; only later blocks may use them
+        acc = acc + jnp.where(gidx >= start + block, contrib, 0.0)
+        alive = jax.lax.dynamic_update_slice_in_dim(alive, alive_blk, start, axis=0)
+        return acc, alive
+
+    acc0 = jnp.zeros((n_pad,), jnp.float32)
+    alive0 = jnp.zeros((n_pad,), dtype=bool)
+    _, alive = jax.lax.fori_loop(0, nb, body, (acc0, alive0))
+    return alive[:n]
+
+
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thresh: float,
+    *,
+    schedule: str = "blocked",
+    block: int = 64,
+    presorted: bool = False,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Greedy NMS over a fixed-size candidate set; returns a keep mask.
+
+    Exact greedy semantics of the reference Python-loop NMS
+    (reference: leanyolo/utils/box_ops.py:49-78), recast for the TPU: sort
+    once by score, then solve the triangular suppression recursion with a
+    blocked substitution schedule (`_alive_blocked`; `schedule="jacobi"`
+    keeps the measured-slower global fixed-point form). All shapes are
+    static; padded entries should carry score -inf (they simply never
+    suppress anything that outranks them).
+
+    Args:
+        boxes: [N, 4] xyxy (any order).
+        scores: [N] confidence; padding entries should be -inf or very small.
+        iou_thresh: suppression threshold (IoU > thresh removes a box).
+        schedule: "blocked" (default, one pass over the suppression pairs)
+            or "jacobi" (global fixed-point sweeps).
+        block: candidates per substitution block (blocked schedule only;
+            64 is the measured-best at n=1000, experiments/exp_nms_schedules.py).
+        presorted: input is ALREADY in descending-score order (the decode
+            paths' candidates come straight from top-k). Skips the
+            argsort+gather — measured 1.7 ms/batch at bs128/n=1000, more
+            than the whole blocked solve.
+        valid: optional [N] bool (presorted only): False entries are dead
+            from the start (conf-masked candidates) — they neither survive
+            nor suppress, which is exactly equivalent to dropping them
+            before a sort.
+
+    Returns:
+        keep: [N] boolean mask aligned with *input* order.
+    """
+    if presorted:
+        return _alive_blocked(boxes, iou_thresh, min(block, boxes.shape[0]), valid=valid)
+    if valid is not None:
+        scores = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    if schedule == "jacobi":
+        alive = _alive_jacobi(boxes_s, iou_thresh)
+    else:
+        alive = _alive_blocked(boxes_s, iou_thresh, min(block, boxes.shape[0]))
     # Scatter back to input order.
-    keep = jnp.zeros((n,), dtype=bool).at[order].set(alive)
+    keep = jnp.zeros((boxes.shape[0],), dtype=bool).at[order].set(alive)
     return keep
 
 

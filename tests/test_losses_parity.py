@@ -92,3 +92,68 @@ def test_nms_fixed_matches_reference_greedy():
     keep_mask = np.asarray(nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.45))
     got = set(np.nonzero(keep_mask)[0].tolist())
     assert got == set(keep_ref.tolist())
+
+
+def test_nms_schedules_agree_with_reference_greedy_fuzz():
+    """Blocked substitution == global Jacobi == the reference Python-loop
+    greedy, across overlap densities, block-boundary sizes, and -inf padding
+    (the blocked schedule's intra/inter split and padded zero-boxes are the
+    risky edges)."""
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    from leanyolo.utils.box_ops import nms as ref_nms
+
+    from leanyolo_tpu.ops.boxes import nms_fixed
+
+    for seed, n, spread, block in [
+        (1, 64, 600, 128),     # n < block
+        (2, 128, 600, 128),    # n == block
+        (3, 200, 600, 128),    # n not divisible by block
+        (4, 300, 120, 64),     # DENSE overlaps -> deep suppression chains
+        (5, 257, 40, 128),     # near-total overlap, worst-case chains
+        (6, 512, 2000, 128),   # sparse, nearly no suppression
+    ]:
+        rng = np.random.RandomState(seed)
+        xy = rng.uniform(0, spread, (n, 2)).astype(np.float32)
+        wh = rng.uniform(10, 120, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], axis=1)
+        scores = rng.uniform(0.01, 1.0, (n,)).astype(np.float32)
+        # -inf padding tail like decode_nms's conf-masked candidates.
+        n_pad = 32
+        boxes_p = np.concatenate([boxes, np.zeros((n_pad, 4), np.float32)])
+        scores_p = np.concatenate([scores, np.full((n_pad,), -np.inf, np.float32)])
+
+        want = set(ref_nms(torch.from_numpy(boxes), torch.from_numpy(scores), 0.45).numpy().tolist())
+        for schedule in ("blocked", "jacobi"):
+            keep = np.asarray(
+                nms_fixed(jnp.asarray(boxes_p), jnp.asarray(scores_p), 0.45,
+                          schedule=schedule, block=block)
+            )
+            got = set(np.nonzero(keep[:n])[0].tolist())
+            assert got == want, (seed, schedule, len(got ^ want))
+
+        # Presorted + valid-mask path (what decode_nms actually calls):
+        # candidates sorted by score desc, ~25% conf-masked via `valid`.
+        # Oracle: reference greedy over ONLY the valid candidates.
+        order = np.argsort(-scores, kind="stable")
+        boxes_sorted, scores_sorted = boxes[order], scores[order]
+        vmask = np.random.RandomState(seed + 100).uniform(size=n) > 0.25
+        vb, vs = boxes_sorted[vmask], scores_sorted[vmask]
+        want_v = set(ref_nms(torch.from_numpy(vb), torch.from_numpy(vs), 0.45).numpy().tolist())
+        keep_ps = np.asarray(
+            nms_fixed(jnp.asarray(boxes_sorted), jnp.asarray(scores_sorted), 0.45,
+                      presorted=True, valid=jnp.asarray(vmask), block=block)
+        )
+        got_v = set(np.nonzero(keep_ps[vmask])[0].tolist())
+        assert got_v == want_v, (seed, "presorted", len(got_v ^ want_v))
+        assert not np.any(keep_ps & ~vmask), "conf-masked candidate kept"
+
+    # Exact duplicates must suppress (the later one dies), incl. across a
+    # block boundary and under the presorted path.
+    dup = np.array([[10, 10, 50, 50]] * 3 + [[200, 200, 240, 240]], np.float32)
+    sc = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    for kw in ({}, {"presorted": True, "valid": jnp.asarray([True] * 4)}):
+        keep = np.asarray(nms_fixed(jnp.asarray(dup), jnp.asarray(sc), 0.45, block=2, **kw))
+        assert keep.tolist() == [True, False, False, True], (kw, keep)
