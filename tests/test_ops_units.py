@@ -308,6 +308,29 @@ class TestBlockedTopK:
         np.testing.assert_array_equal(np.asarray(wv, np.float32), np.asarray(gv, np.float32))
         np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
 
+    def test_max_argmax_fused_matches_two_reduce(self):
+        """bf16 inputs take the packed one-reduce path; must equal
+        max + argmax (first-occurrence ties) bit-for-bit, and f32 inputs
+        must take the exact fallback."""
+        import jax.numpy as jnp
+
+        from leanyolo_tpu.ops.topk import max_argmax_lastdim
+
+        rng = np.random.RandomState(5)
+        for shape in [(4, 100, 80), (2, 8400, 80), (3, 7)]:
+            for dtype in (jnp.bfloat16, jnp.float32):
+                x = jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
+                v, i = max_argmax_lastdim(x)
+                np.testing.assert_array_equal(
+                    np.asarray(v, np.float32), np.asarray(jnp.max(x, axis=-1), np.float32))
+                np.testing.assert_array_equal(
+                    np.asarray(i), np.asarray(jnp.argmax(x, axis=-1)))
+        # Ties + special values: duplicated maxima must pick the FIRST.
+        x = jnp.asarray([[1.0, 5.0, 5.0, -0.0, 0.0, 5.0], [-jnp.inf] * 6]).astype(jnp.bfloat16)
+        v, i = max_argmax_lastdim(x)
+        assert float(v[0]) == 5.0 and int(i[0]) == 1
+        assert int(i[1]) == 0 and np.isneginf(float(v[1]))
+
     def test_k1_and_degenerate(self):
         import jax
         import jax.numpy as jnp
