@@ -149,7 +149,20 @@ def cba_apply(
     precision=None,
 ) -> jnp.ndarray:
     """Conv -> BN -> SiLU. Handles both unfused ('bn') and folded ('b') params."""
-    y = conv2d(x, p["conv"]["w"], stride=stride, groups=groups, padding=padding, precision=precision)
+    w = p["conv"]["w"]
+    if groups == 1 and (w.shape[0] > 1 or w.shape[1] > 1) and w.shape[2] >= 128 and w.shape[2] % 128:
+        # XLA conv-emitter workaround (PERF.md round 4): when the previous
+        # block's bias/SiLU epilogue fuses into a spatial conv's INPUT side
+        # and the input channels pad the 128-lane tile (192, 320, 576...),
+        # XLA's TPU conv emitter can pick a catastrophic schedule — yolov10m
+        # shipped one 3x3 192->192 @40x40 instance at 18.7x its roofline
+        # floor (15.6 of 97 ms/step, EmitInputBatchInLanes, 145M estimated
+        # cycles, vs 1.1M for its sibling convs). An optimization_barrier
+        # keeps the producer out of the conv fusion: measured +44% on the
+        # standalone 192-channel conv chain and NEUTRAL at 256 channels
+        # (experiments/exp_conv192_emitter.py). Numerically the identity.
+        x = jax.lax.optimization_barrier(x)
+    y = conv2d(x, w, stride=stride, groups=groups, padding=padding, precision=precision)
     return _bn_act(p, y, act=act, train=train, stats=stats, scope=scope)
 
 
