@@ -150,7 +150,7 @@ def cba_apply(
 ) -> jnp.ndarray:
     """Conv -> BN -> SiLU. Handles both unfused ('bn') and folded ('b') params."""
     w = p["conv"]["w"]
-    if groups == 1 and (w.shape[0] > 1 or w.shape[1] > 1) and w.shape[2] >= 128 and w.shape[2] % 128:
+    if not train and groups == 1 and (w.shape[0] > 1 or w.shape[1] > 1) and w.shape[2] >= 128 and w.shape[2] % 128:
         # XLA conv-emitter workaround (PERF.md round 4): when the previous
         # block's bias/SiLU epilogue fuses into a spatial conv's INPUT side
         # and the input channels pad the 128-lane tile (192, 320, 576...),
@@ -161,6 +161,8 @@ def cba_apply(
         # keeps the producer out of the conv fusion: measured +44% on the
         # standalone 192-channel conv chain and NEUTRAL at 256 channels
         # (experiments/exp_conv192_emitter.py). Numerically the identity.
+        # Inference-only: the train step never showed the pathology and the
+        # barrier cost it 1.7% (237.9 -> 233.9 img/s on yolov10m bs64).
         x = jax.lax.optimization_barrier(x)
     y = conv2d(x, w, stride=stride, groups=groups, padding=padding, precision=precision)
     return _bn_act(p, y, act=act, train=train, stats=stats, scope=scope)
