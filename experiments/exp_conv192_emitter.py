@@ -37,7 +37,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
-B, H, W = 128, 40, 40
+B = int(os.environ.get("EXP_B", 128))
+H = W = int(os.environ.get("EXP_HW", 40))
+CHANNELS = tuple(int(c) for c in os.environ.get("EXP_C", "192,256").split(","))
 
 
 def run_case(name, c, variant):
@@ -62,8 +64,8 @@ def run_case(name, c, variant):
         h = cba(y, w1, b1)
         if variant == "barrier":
             h = jax.lax.optimization_barrier(h)
-        if variant == "pad256" and c % 256:
-            cp = 256 * (-(-c // 256))
+        if variant == "pad256" and c % 128:
+            cp = 128 * (-(-c // 128))
             hp = jnp.pad(h, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
             w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, cp - c), (0, cp - c)))
             b2p = jnp.pad(b2, (0, cp - c))
@@ -97,9 +99,9 @@ def main() -> None:
 
     enable_persistent_compile_cache()
     out = {}
-    for c in (192, 256):
+    for c in CHANNELS:
         for variant in ("chain", "barrier", "pad256", "single"):
-            if variant == "pad256" and c == 256:
+            if variant == "pad256" and c % 128 == 0:
                 continue
             out[f"c{c}/{variant}"] = round(run_case(variant, c, variant), 3)
     os.makedirs(LOG_DIR, exist_ok=True)

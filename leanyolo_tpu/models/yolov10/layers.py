@@ -150,7 +150,7 @@ def cba_apply(
 ) -> jnp.ndarray:
     """Conv -> BN -> SiLU. Handles both unfused ('bn') and folded ('b') params."""
     w = p["conv"]["w"]
-    if not train and groups == 1 and (w.shape[0] > 1 or w.shape[1] > 1) and w.shape[2] >= 128 and w.shape[2] % 128:
+    if not train and groups == 1 and (w.shape[0] > 1 or w.shape[1] > 1) and w.shape[2] >= 80 and w.shape[2] % 128:
         # XLA conv-emitter workaround (PERF.md round 4): when the previous
         # block's bias/SiLU epilogue fuses into a spatial conv's INPUT side
         # and the input channels pad the 128-lane tile (192, 320, 576...),
