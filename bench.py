@@ -114,7 +114,7 @@ def bench_variant(variant: str = "yolov10s", imgsz: int = 640, batch_sizes=(32, 
     return {"best_ips": best_ips, "best_bs": best_bs, "per_bs": results}
 
 
-def bench_latency(variant: str = "yolov10s", imgsz: int = 640, chains=(64, 256)) -> dict:
+def bench_latency(variant: str = "yolov10s", imgsz: int = 640, chains=(64, 256), decode: str = "topk") -> dict:
     """Single-image serving latency via a chain-length sweep.
 
     A single wall/step at one chain length conflates the fixed per-CALL
@@ -129,7 +129,7 @@ def bench_latency(variant: str = "yolov10s", imgsz: int = 640, chains=(64, 256))
 
     from functools import partial
 
-    from leanyolo_tpu.models.yolov10.decode import decode_topk
+    from leanyolo_tpu.models.yolov10.decode import decode_nms, decode_topk
     from leanyolo_tpu.models.yolov10.fold import fold_params
     from leanyolo_tpu.models.yolov10.model import YOLOv10, model_apply
 
@@ -142,6 +142,13 @@ def bench_latency(variant: str = "yolov10s", imgsz: int = 640, chains=(64, 256))
             p, images.astype(jnp.bfloat16), cfg, train=False, branches=("one2one",),
             normalize=False, concat_head=False,
         )
+        if decode == "nms":
+            dets, num = decode_nms(
+                raw["one2one"], num_classes=80, strides=cfg.strides,
+                conf_thresh=0.25, iou_thresh=0.45, max_det=300,
+                pre_topk=1000, class_wise=True,
+            )
+            return dets + num[:, None, None].astype(dets.dtype) * 0.0
         return decode_topk(raw["one2one"], num_classes=80, strides=cfg.strides, max_det=300)
 
     @partial(jax.jit, static_argnames=("n",))
@@ -250,9 +257,10 @@ def main() -> None:
 
     enable_persistent_compile_cache()
     if args.latency:
-        r = bench_latency(args.variant, args.imgsz)
+        r = bench_latency(args.variant, args.imgsz, decode=args.decode)
+        decode_tag = "" if args.decode == "topk" else f"_{args.decode}"
         print(json.dumps({
-            "metric": f"{args.variant}_{args.imgsz}_bf16_bs1_latency_ms",
+            "metric": f"{args.variant}_{args.imgsz}_bf16{decode_tag}_bs1_latency_ms",
             "value": round(r["step_ms"], 3),
             "unit": "ms/image",
             "vs_baseline": round(r["step_ms"], 3),
