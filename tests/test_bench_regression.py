@@ -93,3 +93,16 @@ def test_r3_baseline_within_gate_of_r2():
     r3 = json.loads((REPO / "reports" / "bench_matrix_r3.json").read_text(encoding="utf-8"))
     rows, failures = compare(r2, r3, 0.05)
     assert failures == [] and len(rows) == 12
+
+
+def test_r4_baseline_within_gate_of_r3():
+    """Same continuity for the round-4 refresh: every r3 cell must be met or
+    beaten (within gate) by r4 — the refresh carries +26% on m and +5% on x,
+    plus six NEW class-wise-NMS cells that r3 had no baseline for (they are
+    gated from r4 onward)."""
+    r3 = json.loads((REPO / "reports" / "bench_matrix_r3.json").read_text(encoding="utf-8"))
+    r4 = json.loads((REPO / "reports" / "bench_matrix_r4.json").read_text(encoding="utf-8"))
+    rows, failures = compare(r3, r4, 0.05)
+    assert failures == [] and len(rows) == 12
+    nms_cells = [k for k in r4["cells"] if k.endswith("/nms")]
+    assert len(nms_cells) == 6
