@@ -279,10 +279,11 @@ def nms_fixed(
             paths' candidates come straight from top-k). Skips the
             argsort+gather — measured 1.7 ms/batch at bs128/n=1000, more
             than the whole blocked solve.
-        valid: optional [N] bool (presorted only): False entries are dead
-            from the start (conf-masked candidates) — they neither survive
-            nor suppress, which is exactly equivalent to dropping them
-            before a sort.
+        valid: optional [N] bool: False entries are dead from the start
+            (conf-masked candidates) — they neither survive nor suppress,
+            which is exactly equivalent to dropping them before a sort.
+            Same force-dead semantics in both the presorted and sorting
+            paths.
 
     Returns:
         keep: [N] boolean mask aligned with *input* order.
@@ -299,6 +300,13 @@ def nms_fixed(
         alive = _alive_blocked(boxes_s, iou_thresh, min(block, boxes.shape[0]))
     # Scatter back to input order.
     keep = jnp.zeros((boxes.shape[0],), dtype=bool).at[order].set(alive)
+    if valid is not None:
+        # Force-dead, matching the presorted path: invalid entries carry
+        # score -inf so every valid entry outranks them — they can only
+        # suppress other invalid entries, never a valid one. Masking them
+        # out of `keep` is therefore exactly equivalent to threading
+        # `valid` through the solve (they neither survive nor suppress).
+        keep = keep & valid
     return keep
 
 

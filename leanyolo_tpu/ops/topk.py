@@ -43,7 +43,17 @@ def _pack_bf16_desc(x: jnp.ndarray) -> jnp.ndarray:
     complemented position so lax.top_k's tie rule (equal values -> ascending
     index) survives a plain descending comparison. Key gaps are >= 65536
     between distinct values, so the index field can never reorder values.
+
+    -0.0 is canonicalized to +0.0 first (x + 0.0 is the IEEE identity for
+    every other value, incl. NaN/inf): the radix trick orders the two zero
+    bit patterns apart, but numeric comparison ties them, so without the
+    canonicalization a {-0.0, +0.0} tie would resolve to the +0.0 slot
+    instead of the first occurrence. After it, both zeros share one key and
+    the index field restores the exact first-occurrence rule. (Unpacked
+    values consequently report +0.0 where the source held -0.0 — numerically
+    equal.)
     """
+    x = x + jnp.zeros((), x.dtype)  # -0.0 -> +0.0; identity elsewhere
     bits = jax.lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.int32)
     key = jnp.where(bits >= 0x8000, 0xFFFF - bits, bits + 0x8000)  # u16, ascending
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
@@ -86,10 +96,12 @@ def max_argmax_lastdim(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     reduces cost a second full pass over the source (measured +1.25 ms/batch
     on the decode_nms candidate stage at [128,8400,80] bf16,
     experiments/exp_nms_anatomy.py). Tie rule matches jnp.argmax exactly
-    (first occurrence): key order is (value desc, index asc).
+    (first occurrence): key order is (value desc, index asc), with -0.0
+    canonicalized to +0.0 at pack time so a signed-zero tie also resolves
+    to the first occurrence (the returned max is then +0.0, numerically
+    equal to jnp.max's).
 
-    Non-bf16 inputs fall back to the two-reduce form — bit-identical
-    results in every case.
+    Non-bf16 inputs fall back to the two-reduce form.
     """
     if x.dtype == jnp.bfloat16 and x.shape[-1] <= 32768:
         best = jnp.max(_pack_bf16_desc(x), axis=-1)

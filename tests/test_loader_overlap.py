@@ -51,18 +51,30 @@ def _drive(loader, consume_s: float) -> float:
     return wall
 
 
+def _best_of(measure, attempts: int = 3) -> float:
+    """Min over a few attempts: wall-clock assertions on the single shared
+    core can lose one attempt to an unrelated burst (another test's XLA
+    compile); overlap is a property of the BEST run, so one clean attempt
+    proves it while a real serialization regression fails all of them."""
+    return min(measure() for _ in range(attempts))
+
+
 def test_producer_hides_item_cost_behind_consumer():
     """With prefetch + intra-batch worker fan-out, the epoch wall must be far
     below the serial sum (here: 16 batches x (4 x 30 ms decode + 60 ms step)
     serial = ~2.9 s; overlapped with 4 workers the decode of a whole batch
     fits inside one consumer step, so wall ~= 16 x 60 ms + pipeline fill)."""
     item_s, consume_s, bs, n = 0.03, 0.06, 4, 64
-    ds = _SleepDataset(n, item_s)
-    loader = DataLoader(ds, batch_size=bs, shuffle=False, workers=4, prefetch=2, max_boxes=1)
-    wall = _drive(loader, consume_s)
     n_batches = n // bs
     serial = n_batches * (bs * item_s + consume_s)  # no fan-out, no overlap
     ideal = n_batches * consume_s  # decode fully hidden
+
+    def measure():
+        ds = _SleepDataset(n, item_s)
+        loader = DataLoader(ds, batch_size=bs, shuffle=False, workers=4, prefetch=2, max_boxes=1)
+        return _drive(loader, consume_s)
+
+    wall = _best_of(measure)
     # Generous margin for a saturated 1-core CI host: demand we beat serial
     # by at least the decode time of half the batches.
     assert wall < serial - 0.5 * n_batches * bs * item_s, (wall, serial, ideal)
@@ -73,18 +85,23 @@ def test_first_batch_available_while_consumer_busy():
     after the consumer spends one long step on batch 0, batches 1..prefetch
     must arrive with ~zero additional wait."""
     item_s, bs = 0.02, 4
-    ds = _SleepDataset(16, item_s)
-    loader = DataLoader(ds, batch_size=bs, shuffle=False, workers=4, prefetch=3, max_boxes=1)
-    it = iter(loader)
-    next(it)  # pipeline fill
-    time.sleep(0.5)  # consumer "computes"; producer should prefetch 3 batches
-    t0 = time.perf_counter()
-    next(it)
-    next(it)
-    dt = time.perf_counter() - t0
-    for _ in it:
-        pass
+
+    def measure():
+        ds = _SleepDataset(16, item_s)
+        loader = DataLoader(ds, batch_size=bs, shuffle=False, workers=4, prefetch=3, max_boxes=1)
+        it = iter(loader)
+        next(it)  # pipeline fill
+        time.sleep(0.5)  # consumer "computes"; producer prefetches 3 batches
+        t0 = time.perf_counter()
+        next(it)
+        next(it)
+        dt = time.perf_counter() - t0
+        for _ in it:
+            pass
+        return dt
+
     # Two prefetched batches must be dequeue-only (<< 2 x batch decode time).
+    dt = _best_of(measure)
     assert dt < 2 * bs * item_s * 0.5, dt
 
 

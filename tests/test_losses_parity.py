@@ -150,6 +150,15 @@ def test_nms_schedules_agree_with_reference_greedy_fuzz():
         assert got_v == want_v, (seed, "presorted", len(got_v ^ want_v))
         assert not np.any(keep_ps & ~vmask), "conf-masked candidate kept"
 
+        # valid WITHOUT presorted (public-API path) must have the same
+        # force-dead semantics: identical keep mask as the presorted path on
+        # the same (sorted) inputs, and no invalid entry ever kept.
+        keep_unsorted = np.asarray(
+            nms_fixed(jnp.asarray(boxes_sorted), jnp.asarray(scores_sorted), 0.45,
+                      valid=jnp.asarray(vmask), block=block)
+        )
+        assert keep_unsorted.tolist() == keep_ps.tolist(), (seed, "valid-unsorted")
+
     # Exact duplicates must suppress (the later one dies), incl. across a
     # block boundary and under the presorted path.
     dup = np.array([[10, 10, 50, 50]] * 3 + [[200, 200, 240, 240]], np.float32)

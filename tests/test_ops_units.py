@@ -330,6 +330,13 @@ class TestBlockedTopK:
         v, i = max_argmax_lastdim(x)
         assert float(v[0]) == 5.0 and int(i[0]) == 1
         assert int(i[1]) == 0 and np.isneginf(float(v[1]))
+        # Signed-zero maximum: -0.0 == +0.0 numerically, so the tie must
+        # resolve to the FIRST occurrence like jnp.argmax (the pack step
+        # canonicalizes -0.0; without it the +0.0 slot would win).
+        z = jnp.asarray([[-0.0, 0.0, -1.0], [0.0, -0.0, -1.0], [-1.0, -0.0, 0.0]]).astype(jnp.bfloat16)
+        v, i = max_argmax_lastdim(z)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(jnp.argmax(z, axis=-1)))
+        np.testing.assert_array_equal(np.asarray(v, np.float32), np.asarray(jnp.max(z, axis=-1), np.float32))
 
     def test_k1_and_degenerate(self):
         import jax
