@@ -16,6 +16,11 @@ Legs measured (all on the SAME generated JPEG set, COCO-val-like sizes):
   C. end-to-end: validate_coco wall (the product path, prefetch overlapped).
   D. decode-only: cv2.imread microbench -> bytes/image + ms/image for the
      input roofline.
+  E. conversion: detections_to_coco_arrays on realistic 300-det batches
+     (round 5: columnar numpy; round 4's dict loop was 1.6 ms/img).
+  F. scoring: CocoEvaluator add+score_images per batch + the final
+     aggregation (round 5: batched matcher, incremental & overlapped;
+     round 4's scalar tail was ~2.2 ms/img, serial after the loop).
 
 Writes experiments/logs/pipeline_e2e.json and prints a summary.
 
@@ -143,6 +148,49 @@ def main() -> None:
     dev_ips = iters * args.bs / dev_wall
     print(f"B device-only (bs{args.bs}, per-call): {dev_ips:.1f} img/s", flush=True)
 
+    # E+F. host-tail microbenches on REALISTIC detections: run one real
+    # batch through the device, then replicate its output across the set so
+    # conversion/scoring see production-shaped data (300 dets/img, conf
+    # spread) without paying the tunnel per batch.
+    from leanyolo_tpu.engine.validator import detections_to_coco_arrays, _load_gt
+    from leanyolo_tpu.utils.coco_eval import CocoEvaluator
+
+    ds_probe = CocoDetection(img_dir, ann_json, img_size=args.imgsz)
+    loader_probe = DataLoader(ds_probe, batch_size=args.bs, shuffle=False, workers=args.workers, max_boxes=8)
+    batch0 = next(iter(loader_probe))
+    dets0, num0 = pred.run_batch(jnp.asarray(batch0.images))
+    dets0, num0 = np.asarray(dets0), np.asarray(num0)
+    metas0 = [
+        None if m is None else
+        {"image_id": m["image_id"], "gain": m["gain"], "pad": m["pad"], "orig_hw": m["orig_hw"]}
+        for m in batch0.meta
+    ]
+
+    # E. conversion per image (columnar math; excludes d2h).
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        cols = detections_to_coco_arrays(dets0, num0, metas0, ds_probe.cat_ids, decode="topk")
+    conv_ms = (time.perf_counter() - t0) / (reps * args.bs) * 1e3
+
+    # F. scoring: feed every image of the set with batch0's detections
+    # remapped to its image id (same det count/score distribution), score
+    # incrementally per batch, then time the final aggregation.
+    ev = CocoEvaluator(_load_gt(ann_json, None))
+    row_pos = cols[0].astype(np.int64)  # valset image ids are 0..n-1; batch0 = 0..bs-1
+    t0 = time.perf_counter()
+    for s in range(0, args.n, args.bs):
+        n_ids = min(args.bs, args.n - s)
+        keep = row_pos < n_ids
+        ev.add_detections_arrays(s + row_pos[keep], cols[1][keep], cols[2][keep], cols[3][keep])
+        ev.score_images(range(s, s + n_ids))
+    score_ms = (time.perf_counter() - t0) / args.n * 1e3
+    t0 = time.perf_counter()
+    stats_probe = ev.evaluate()
+    agg_ms = (time.perf_counter() - t0) / args.n * 1e3
+    print(f"E conversion: {conv_ms:.3f} ms/img  F scoring: {score_ms:.3f} ms/img "
+          f"+ aggregation {agg_ms:.3f} ms/img (mAP probe {stats_probe['map_50_95']:.3f})", flush=True)
+
     # C. end-to-end product path (fresh predictor state, prefetch overlapped).
     from leanyolo_tpu.engine.validator import validate_coco
 
@@ -173,9 +221,23 @@ def main() -> None:
         "device_only_ips_percall": round(dev_ips, 1),
         "end_to_end_ips": round(e2e_ips, 1),
         "end_to_end_wall_s": round(e2e_wall, 1),
+        "conversion_ms_per_image": round(conv_ms, 3),
+        "scoring_ms_per_image": round(score_ms, 3),
+        "scoring_agg_ms_per_image": round(agg_ms, 3),
         "overlap_efficiency": round(float(overlap_eff), 3),
         "map_50_95": round(stats["map_50_95"], 4),
         "host_cores": os.cpu_count(),
+        "notes": {
+            "map_50_95": "synthetic unlabeled-noise JPEGs with one arbitrary box each -- "
+                         "mAP here is NOT a model-quality signal, only evidence the eval "
+                         "path ran (real-accuracy gates live in the parity/fidelity suites)",
+            "overlap_efficiency": "(serial - e2e_wall) / (serial - best); can exceed 1 or go "
+                                  "negative on this rig because the axon-tunnel h2d (~44 MB/s) "
+                                  "dominates BOTH the device-only leg and the e2e wall -- on "
+                                  "tunnel-bound runs this ratio is noise, not a pipeline verdict",
+            "device_only_ips_percall": "axon tunnel h2d-bound on this rig, NOT chip throughput "
+                                       "(the chip consumes the same batch in ~18 ms; see PERF.md)",
+        },
     }
     os.makedirs(LOG_DIR, exist_ok=True)
     with open(os.path.join(LOG_DIR, "pipeline_e2e.json"), "w", encoding="utf-8") as f:

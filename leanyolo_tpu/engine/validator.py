@@ -25,6 +25,55 @@ from ..utils.coco_eval import CocoEvaluator
 from .predictor import Predictor
 
 
+def detections_to_coco_arrays(
+    dets: np.ndarray,
+    num: np.ndarray,
+    metas: Sequence[Optional[dict]],
+    cat_ids: Sequence[int],
+    *,
+    decode: str,
+    conf_for_topk: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fixed-shape device output -> columnar COCO results (xywh, original
+    pixels): (image_ids [N], category_ids [N], boxes_xywh [N,4], scores [N]).
+
+    Pure numpy column math over the whole batch — no per-detection Python
+    objects (the round-4 dict loop cost 1.6 ms/img serial in the main
+    process; PERF.md input-pipeline roofline). Class index -> dataset
+    category_id by sorted id (reference val.py:216-227).
+    """
+    real = [i for i, m in enumerate(metas) if m is not None]
+    if not real:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros((0, 4), np.float32),
+            np.zeros(0, np.float32),
+        )
+    d = np.asarray(dets)[real]  # [n, A, 6]
+    nim, A = d.shape[0], d.shape[1]
+    gains = np.asarray([metas[i]["gain"] for i in real], np.float32)
+    pads = np.asarray([metas[i]["pad"] for i in real], np.float32)
+    ohw = np.asarray([metas[i]["orig_hw"] for i in real], np.float32)
+    ids = np.asarray([metas[i]["image_id"] for i in real], np.int64)
+    if decode == "topk":
+        valid = d[:, :, 4] > conf_for_topk if conf_for_topk > 0 else np.ones((nim, A), bool)
+    else:
+        valid = np.arange(A)[None, :] < np.asarray(num)[real][:, None]
+    gw, gh = gains[:, :1], gains[:, 1:2]
+    px, py = pads[:, :1], pads[:, 1:2]
+    oh, ow = ohw[:, :1], ohw[:, 1:2]
+    x1 = np.clip((d[:, :, 0] - px) / gw, 0, ow)
+    y1 = np.clip((d[:, :, 1] - py) / gh, 0, oh)
+    x2 = np.clip((d[:, :, 2] - px) / gw, 0, ow)
+    y2 = np.clip((d[:, :, 3] - py) / gh, 0, oh)
+    boxes = np.stack((x1, y1, x2 - x1, y2 - y1), axis=-1)[valid]
+    img_col = np.broadcast_to(ids[:, None], (nim, A))[valid]
+    cat_col = np.asarray(cat_ids, np.int64)[d[:, :, 5].astype(np.int64)][valid]
+    scores = d[:, :, 4][valid]
+    return img_col, cat_col, boxes.astype(np.float32, copy=False), scores.astype(np.float32, copy=False)
+
+
 def detections_to_coco_results(
     dets: np.ndarray,
     num: np.ndarray,
@@ -34,38 +83,16 @@ def detections_to_coco_results(
     decode: str,
     conf_for_topk: float = 0.0,
 ) -> List[dict]:
-    """Fixed-shape device output -> COCO result dicts (xywh, original pixels).
-
-    Class index -> dataset category_id by sorted id (reference val.py:216-227).
-    """
-    results = []
-    for i, meta in enumerate(metas):
-        if meta is None:  # padding image
-            continue
-        d = dets[i]
-        if decode == "topk":
-            d = d[d[:, 4] > conf_for_topk] if conf_for_topk > 0 else d
-        else:
-            d = d[: int(num[i])]
-        if not len(d):
-            continue
-        gw, gh = meta["gain"]
-        px, py = meta["pad"]
-        oh, ow = meta["orig_hw"]
-        x1 = np.clip((d[:, 0] - px) / gw, 0, ow)
-        y1 = np.clip((d[:, 1] - py) / gh, 0, oh)
-        x2 = np.clip((d[:, 2] - px) / gw, 0, ow)
-        y2 = np.clip((d[:, 3] - py) / gh, 0, oh)
-        for j in range(len(d)):
-            results.append(
-                {
-                    "image_id": int(meta["image_id"]),
-                    "category_id": int(cat_ids[int(d[j, 5])]),
-                    "bbox": [float(x1[j]), float(y1[j]), float(x2[j] - x1[j]), float(y2[j] - y1[j])],
-                    "score": float(d[j, 4]),
-                }
-            )
-    return results
+    """COCO result DICTS — a thin wrapper over `detections_to_coco_arrays`,
+    kept for the JSON boundary (--save-detections) and API compatibility;
+    the validation loop itself stays columnar end-to-end."""
+    img_col, cat_col, boxes, scores = detections_to_coco_arrays(
+        dets, num, metas, cat_ids, decode=decode, conf_for_topk=conf_for_topk
+    )
+    return [
+        {"image_id": i, "category_id": c, "bbox": b, "score": s}
+        for i, c, b, s in zip(img_col.tolist(), cat_col.tolist(), boxes.tolist(), scores.tolist())
+    ]
 
 
 def measure_fps(predictor: Predictor, *, batch_size: int = 1, warmup: int = 1, iters: int = 30) -> float:
@@ -243,53 +270,68 @@ def validate_coco(
 
     import jax.numpy as jnp
 
-    all_results: List[dict] = []
+    chunks: List[tuple] = []  # columnar per-batch results (shard merge / JSON)
     n_images = 0
     viz_index = 0
+    # Single-process: score incrementally so conversion + matching overlap
+    # the device step (the round-4 serial tail). Sharded: chunks merge
+    # across processes first; process 0 scores once at the end.
+    evaluator = None
+    if shard is None or shard[1] <= 1:
+        evaluator = CocoEvaluator(_load_gt(ann_json, max_images))
     t0 = time.perf_counter()
 
-    if preprocess == "device":
-        for dets, num, metas, raw_imgs in _iter_device_preprocess(ds, predictor, batch_size, workers):
-            all_results.extend(
-                detections_to_coco_results(dets, num, metas, ds.cat_ids, decode=decode, conf_for_topk=0.0)
-            )
-            if viz_dir:
-                # Letterboxed pixels live on device in this mode; instead of
-                # reading the warp back, render on the ORIGINAL images with
-                # unletterboxed coordinates (same three naming modes).
+    def _consume(dets_h, num_h, metas, viz_payload) -> None:
+        """Host work for one batch: d2h readback, columnar conversion,
+        incremental scoring, viz. Runs while the NEXT batch executes on
+        device (the caller dispatches before consuming)."""
+        nonlocal n_images, viz_index
+        dets = np.asarray(dets_h)
+        num = np.asarray(num_h)
+        cols = detections_to_coco_arrays(dets, num, metas, ds.cat_ids, decode=decode, conf_for_topk=0.0)
+        chunks.append(cols)
+        if evaluator is not None:
+            evaluator.add_detections_arrays(*cols)
+            evaluator.score_images([m["image_id"] for m in metas if m is not None])
+        if viz_dir and viz_payload is not None:
+            kind, payload = viz_payload
+            if kind == "batch":
+                viz_index = _save_viz_batch(
+                    payload, dets, num, ds, decode=decode, viz_dir=viz_dir, conf=viz_conf,
+                    name_mode=viz_name_mode, start_index=viz_index,
+                )
+            else:
+                # Letterboxed pixels live on device in this mode; render on
+                # the ORIGINAL images with unletterboxed coordinates.
                 viz_index = _save_viz_original(
-                    raw_imgs, dets, num, metas, ds, decode=decode, viz_dir=viz_dir,
+                    payload, dets, num, metas, ds, decode=decode, viz_dir=viz_dir,
                     conf=viz_conf, name_mode=viz_name_mode, start_index=viz_index,
                 )
-            n_images += sum(m is not None for m in metas)
-        wall = time.perf_counter() - t0
-        return _finish_sharded(
-            ds, all_results, n_images, wall, ann_json, max_images, save_detections,
-            measure_speed, fps_warmup, predictor, shard,
-        )
+        n_images += sum(m is not None for m in metas)
 
-    for batch in loader:
-        dets, num = predictor.run_batch(jnp.asarray(batch.images))
-        dets = np.asarray(dets)
-        num = np.asarray(num)
-        metas = [
-            None
-            if m is None
-            else {"image_id": m["image_id"], "gain": m["gain"], "pad": m["pad"], "orig_hw": m["orig_hw"]}
-            for m in batch.meta
-        ]
-        all_results.extend(
-            detections_to_coco_results(dets, num, metas, ds.cat_ids, decode=decode, conf_for_topk=0.0)
-        )
-        if viz_dir:
-            viz_index = _save_viz_batch(
-                batch, dets, num, ds, decode=decode, viz_dir=viz_dir, conf=viz_conf,
-                name_mode=viz_name_mode, start_index=viz_index,
-            )
-        n_images += sum(m is not None for m in batch.meta)
+    pending = None
+    if preprocess == "device":
+        for dets_h, num_h, metas, raw_imgs in _iter_device_preprocess(ds, predictor, batch_size, workers):
+            if pending is not None:
+                _consume(*pending)
+            pending = (dets_h, num_h, metas, ("original", raw_imgs) if viz_dir else None)
+    else:
+        for batch in loader:
+            dets_h, num_h = predictor.run_batch(jnp.asarray(batch.images))  # async dispatch
+            if pending is not None:
+                _consume(*pending)
+            metas = [
+                None
+                if m is None
+                else {"image_id": m["image_id"], "gain": m["gain"], "pad": m["pad"], "orig_hw": m["orig_hw"]}
+                for m in batch.meta
+            ]
+            pending = (dets_h, num_h, metas, ("batch", batch) if viz_dir else None)
+    if pending is not None:
+        _consume(*pending)
     wall = time.perf_counter() - t0
     return _finish_sharded(
-        ds, all_results, n_images, wall, ann_json, max_images, save_detections,
+        chunks, evaluator, n_images, wall, ann_json, max_images, save_detections,
         measure_speed, fps_warmup, predictor, shard,
     )
 
@@ -330,41 +372,12 @@ def _iter_device_preprocess(ds: CocoDetection, predictor: Predictor, batch_size:
                 else None
                 for i in range(batch_size)
             ]
-            yield np.asarray(dets), np.asarray(num), metas, imgs
+            # Device handles, NOT numpy: the caller pipelines one batch deep
+            # and reads back while the next batch executes.
+            yield dets, num, metas, imgs
 
 
-def _finish_sharded(ds, all_results, n_images, wall, ann_json, max_images,
-                    save_detections, measure_speed, fps_warmup, predictor, shard):
-    """Sharded multi-host finish: merge per-process detections, score ONCE on
-    process 0 (the numpy evaluator costs minutes at full-COCO scale — running
-    it on every host is pure waste), then share the small stats dict so every
-    process returns the identical global numbers. Cluster wall time is the
-    SLOWEST shard's wall (local wall would overstate distributed throughput).
-    Single-process: plain _finish."""
-    if shard is None or shard[1] <= 1:
-        return _finish(ds, all_results, n_images, wall, ann_json, max_images,
-                       save_detections, measure_speed, fps_warmup, predictor)
-    import jax
-
-    from ..parallel.distributed import allgather_obj
-
-    merged = allgather_obj({"r": all_results, "n": n_images, "w": wall})
-    all_results = [d for m in merged for d in m["r"]]
-    n_images = sum(m["n"] for m in merged)
-    wall = max(m["w"] for m in merged)
-    stats = None
-    if jax.process_index() == 0:
-        stats = _finish(ds, all_results, n_images, wall, ann_json, max_images,
-                        save_detections, measure_speed, fps_warmup, predictor)
-    return allgather_obj(stats)[0]
-
-
-def _finish(ds, all_results, n_images, wall, ann_json, max_images, save_detections, measure_speed, fps_warmup, predictor):
-    if save_detections:
-        os.makedirs(os.path.dirname(os.path.abspath(save_detections)), exist_ok=True)
-        with open(save_detections, "w", encoding="utf-8") as f:
-            json.dump(all_results, f)
-
+def _load_gt(ann_json: str, max_images: Optional[int]) -> dict:
     with open(ann_json, "r", encoding="utf-8") as f:
         gt = json.load(f)
     if max_images:
@@ -374,8 +387,64 @@ def _finish(ds, all_results, n_images, wall, ann_json, max_images, save_detectio
             "annotations": [a for a in gt["annotations"] if a["image_id"] in keep],
             "categories": gt["categories"],
         }
-    evaluator = CocoEvaluator(gt)
-    evaluator.add_detections(all_results)
+    return gt
+
+
+def _finish_sharded(chunks, evaluator, n_images, wall, ann_json, max_images,
+                    save_detections, measure_speed, fps_warmup, predictor, shard):
+    """Sharded multi-host finish: merge per-process columnar detections,
+    score ONCE on process 0 (the numpy evaluator is the expensive leg at
+    full-COCO scale — running it on every host is pure waste), then share
+    the small stats dict so every process returns the identical global
+    numbers. Cluster wall time is the SLOWEST shard's wall (local wall
+    would overstate distributed throughput). Single-process: plain
+    _finish with the incrementally-fed evaluator."""
+    if shard is None or shard[1] <= 1:
+        return _finish(chunks, evaluator, n_images, wall, save_detections,
+                       measure_speed, fps_warmup, predictor)
+    import jax
+
+    from ..parallel.distributed import allgather_obj
+
+    # allgather_obj is JSON-based: ship the columnar chunks as plain lists
+    # (still far smaller than per-detection dicts — no repeated keys).
+    payload = [tuple(col.tolist() for col in c) for c in chunks]
+    merged = allgather_obj({"c": payload, "n": n_images, "w": wall})
+    chunks = [
+        (
+            np.asarray(c[0], np.int64),
+            np.asarray(c[1], np.int64),
+            np.asarray(c[2], np.float32).reshape(-1, 4),
+            np.asarray(c[3], np.float32),
+        )
+        for m in merged
+        for c in m["c"]
+    ]
+    n_images = sum(m["n"] for m in merged)
+    wall = max(m["w"] for m in merged)
+    stats = None
+    if jax.process_index() == 0:
+        evaluator = CocoEvaluator(_load_gt(ann_json, max_images))
+        for c in chunks:
+            evaluator.add_detections_arrays(*c)
+        stats = _finish(chunks, evaluator, n_images, wall, save_detections,
+                        measure_speed, fps_warmup, predictor)
+    return allgather_obj(stats)[0]
+
+
+def _finish(chunks, evaluator, n_images, wall, save_detections, measure_speed, fps_warmup, predictor):
+    if save_detections:
+        # The ONLY per-detection Python loop left, and only at the explicit
+        # JSON boundary (same dict schema the reference emits, val.py:216-227).
+        os.makedirs(os.path.dirname(os.path.abspath(save_detections)), exist_ok=True)
+        results = [
+            {"image_id": i, "category_id": c, "bbox": b, "score": s}
+            for img_col, cat_col, boxes, scores in chunks
+            for i, c, b, s in zip(img_col.tolist(), cat_col.tolist(), boxes.tolist(), scores.tolist())
+        ]
+        with open(save_detections, "w", encoding="utf-8") as f:
+            json.dump(results, f)
+
     stats = evaluator.evaluate()
     stats["n_images"] = n_images
     stats["wall_s"] = wall

@@ -113,3 +113,92 @@ def test_early_break_does_not_hang():
         if i == 1:
             break
     assert time.perf_counter() - t0 < 5.0
+
+
+class _DelayedHandle:
+    """Device-array stand-in: materializing it (np.asarray) blocks until
+    `ready_at`, like a d2h readback on an in-flight computation."""
+
+    def __init__(self, arr, ready_at):
+        self._arr = arr
+        self._ready_at = ready_at
+
+    def __array__(self, dtype=None, copy=None):
+        dt = self._ready_at - time.perf_counter()
+        if dt > 0:
+            time.sleep(dt)
+        return self._arr if dtype is None else self._arr.astype(dtype)
+
+
+class _StubPredictor:
+    """run_batch dispatches 'asynchronously': returns immediately with
+    handles that become ready step_s later (like a dispatched XLA program)."""
+
+    def __init__(self, step_s: float, max_det: int = 8):
+        self.step_s = step_s
+        self.max_det = max_det
+        self.calls = 0
+
+    def update_params(self, params):
+        pass
+
+    def run_batch(self, images):
+        self.calls += 1
+        b = int(images.shape[0])
+        ready = time.perf_counter() + self.step_s
+        dets = np.zeros((b, self.max_det, 6), np.float32)
+        num = np.zeros((b,), np.int32)
+        return _DelayedHandle(dets, ready), _DelayedHandle(num, ready)
+
+
+def test_validation_conversion_overlaps_device_step(tmp_path, monkeypatch):
+    """The round-5 host-tail fix (PERF.md input-pipeline roofline): the
+    validation loop must run COCO-result conversion + incremental scoring
+    of batch N while batch N+1 executes on device. With a conversion leg
+    artificially inflated to ~the device step time, the wall must stay near
+    n_batches x step (overlapped), far below n_batches x (step + convert)
+    (the round-4 serial shape)."""
+    import sys
+    from pathlib import Path
+    from types import SimpleNamespace
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from synth_coco import make_synth_coco
+
+    import leanyolo_tpu.engine.validator as validator_mod
+
+    n_images, bs, step_s, conv_s = 16, 2, 0.08, 0.07
+    img_dir, ann_json = make_synth_coco(str(tmp_path), n_images=n_images, size=(32, 32))
+
+    real_convert = validator_mod.detections_to_coco_arrays
+
+    def slow_convert(*args, **kwargs):
+        time.sleep(conv_s)  # stand-in for a heavyweight conversion leg
+        return real_convert(*args, **kwargs)
+
+    monkeypatch.setattr(validator_mod, "detections_to_coco_arrays", slow_convert)
+
+    def measure():
+        pred = _StubPredictor(step_s)
+        t0 = time.perf_counter()
+        stats = validator_mod.validate_coco(
+            SimpleNamespace(params={}),
+            images_dir=img_dir,
+            ann_json=ann_json,
+            imgsz=32,
+            batch_size=bs,
+            decode="topk",
+            workers=2,
+            predictor=pred,
+        )
+        wall = time.perf_counter() - t0
+        assert stats["n_images"] == n_images
+        assert pred.calls == n_images // bs
+        return wall
+
+    n_batches = n_images // bs
+    serial = n_batches * (step_s + conv_s)
+    wall = _best_of(measure)
+    # Overlapped: ~n_batches*step + one trailing convert. Demand at least
+    # half of the conversion legs hidden (generous for a saturated host).
+    assert wall < serial - 0.5 * n_batches * conv_s, (wall, serial)

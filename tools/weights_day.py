@@ -143,16 +143,39 @@ def run_weights_day(
                 report["ok"] = False
 
         t0 = time.time()
+        os.makedirs(out_dir, exist_ok=True)
+        det_path = os.path.join(out_dir, f"{name}_detections.json")
         try:
             stats = validate_coco(
                 model, images_dir=images_dir, ann_json=ann_json, imgsz=imgsz,
                 batch_size=batch_size, decode="topk", conf_thresh=0.001,
-                iou_thresh=0.65, max_images=max_images,
+                iou_thresh=0.65, max_images=max_images, save_detections=det_path,
             )
         except Exception as e:
             row["stages"]["coco_val"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
             report["ok"] = False
             continue
+
+        # External-oracle cross-check: if pycocotools exists in THIS
+        # environment (it cannot in the offline build env), score the same
+        # detections with the real COCOeval and gate on exact protocol
+        # agreement with the self-authored evaluator.
+        from leanyolo_tpu.engine.validator import _load_gt
+        from leanyolo_tpu.utils.coco_eval import pycocotools_stats
+
+        with open(det_path, "r", encoding="utf-8") as f:
+            det_dicts = json.load(f)
+        py = pycocotools_stats(_load_gt(ann_json, max_images), det_dicts)
+        if py is None:
+            row["stages"]["pycocotools_crosscheck"] = {"skipped": True, "reason": "pycocotools not installed"}
+        else:
+            delta = abs(py["map_50_95"] - stats["map_50_95"])
+            ok = delta <= 1e-6
+            row["stages"]["pycocotools_crosscheck"] = {
+                "ok": ok, "map_50_95_pycocotools": round(py["map_50_95"], 6), "delta": delta,
+            }
+            if not ok:
+                report["ok"] = False
         official = official_map[name]
         diff = abs(stats["map_50_95"] - official)
         gate_ok = diff <= tolerance
