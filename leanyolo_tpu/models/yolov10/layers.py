@@ -135,6 +135,24 @@ def cba_init(key, c_in: int, c_out: int, k: int, groups: int = 1) -> Params:
     }
 
 
+import os as _os
+
+_BARRIER_MODE = _os.environ.get("LEANYOLO_CONV_BARRIER", "auto")
+
+
+def _barrier_applies(c_in: int, x_shape) -> bool:
+    """Whether the conv-input optimization_barrier applies (see cba_apply).
+
+    'auto' = the measured rule set; 'all' / 'off' are probe overrides
+    (LEANYOLO_CONV_BARRIER) used by the emitter-pathology experiments.
+    """
+    if _BARRIER_MODE == "all":
+        return True
+    if _BARRIER_MODE == "off":
+        return False
+    return bool(c_in >= 80 and c_in % 128)
+
+
 def cba_apply(
     p: Params,
     x: jnp.ndarray,
@@ -150,7 +168,7 @@ def cba_apply(
 ) -> jnp.ndarray:
     """Conv -> BN -> SiLU. Handles both unfused ('bn') and folded ('b') params."""
     w = p["conv"]["w"]
-    if not train and groups == 1 and (w.shape[0] > 1 or w.shape[1] > 1) and w.shape[2] >= 80 and w.shape[2] % 128:
+    if not train and groups == 1 and (w.shape[0] > 1 or w.shape[1] > 1) and _barrier_applies(w.shape[2], x.shape):
         # XLA conv-emitter workaround (PERF.md round 4): when the previous
         # block's bias/SiLU epilogue fuses into a spatial conv's INPUT side
         # and the input channels pad the 128-lane tile (192, 320, 576...),
