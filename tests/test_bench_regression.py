@@ -106,3 +106,20 @@ def test_r4_baseline_within_gate_of_r3():
     assert failures == [] and len(rows) == 12
     nms_cells = [k for k in r4["cells"] if k.endswith("/nms")]
     assert len(nms_cells) == 6
+
+
+def test_r5_multisize_baseline_loads_and_self_compares():
+    """Round-5 multi-size cells (s/x at 320/960/1280, topk + class-wise NMS,
+    best measured batch size — s cells pinned at bs128 per the sub-128-batch
+    emitter-flip root cause, PERF.md round 5). PT-002 spot-checks live cells
+    against exactly this file."""
+    path = REPO / "reports" / "bench_matrix_r5_sizes.json"
+    base = json.loads(path.read_text(encoding="utf-8"))
+    rows, failures = compare(base, base, 0.05)
+    assert failures == [] and len(rows) == 12
+    assert {k.split("@")[0] for k in base["cells"]} == {"yolov10s", "yolov10x"}
+    assert {k.split("@")[1].split("/")[0] for k in base["cells"]} == {"320", "960", "1280"}
+    # The root-cause pin: every yolov10s multi-size cell runs at bs128.
+    for k, cell in base["cells"].items():
+        if k.startswith("yolov10s"):
+            assert cell["batch_size"] == 128, k

@@ -43,6 +43,9 @@ def main() -> None:
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch-sizes", default=None, help="override: comma list used for every cell")
     p.add_argument("--out", default=None, help="also write the table as JSON here")
+    p.add_argument("--imgsz-in-key", action="store_true",
+                   help="emit cells keyed 'variant@imgsz/mode' (the multi-size "
+                        "baseline format, reports/bench_matrix_r5_sizes.json)")
     args = p.parse_args()
     from leanyolo_tpu.utils.compile_cache import enable_persistent_compile_cache
 
@@ -75,7 +78,8 @@ def main() -> None:
                 "batch_size": r["best_bs"],
                 "per_bs": {str(k): round(v, 2) for k, v in r["per_bs"].items()},
             }
-            table["cells"][f"{variant}/{mode}"] = cell
+            key = f"{variant}@{args.imgsz}/{mode}" if args.imgsz_in_key else f"{variant}/{mode}"
+            table["cells"][key] = cell
             print(json.dumps({
                 "metric": f"{variant}_{args.imgsz}_bf16_{mode}_images_per_sec_per_chip",
                 "value": cell["images_per_sec_per_chip"],
@@ -88,7 +92,8 @@ def main() -> None:
     for variant in variants:
         row = [variant]
         for mode in modes:
-            c = table["cells"].get(f"{variant}/{mode}")
+            c = table["cells"].get(
+                f"{variant}@{args.imgsz}/{mode}" if args.imgsz_in_key else f"{variant}/{mode}")
             row.append(f"{c['images_per_sec_per_chip']} (bs{c['batch_size']})" if c else "-")
         print("| " + " | ".join(row) + " |")
 
