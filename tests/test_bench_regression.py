@@ -108,6 +108,20 @@ def test_r4_baseline_within_gate_of_r3():
     assert len(nms_cells) == 6
 
 
+def test_r5_baseline_within_gate_of_r4():
+    """Round-5 refresh continuity: every r4 cell met or beaten (within gate)
+    by r5 — the refresh carries the full-128-lane-tile re-sweep (+30% on
+    yolov10x infer/nms at bs128, +17.6% on yolov10m train at bs128; PERF.md
+    round-5 late section); b/l/x train pins are unchanged (bs128 is
+    compile-infra-blocked for b/l and a measured regression for x)."""
+    r4 = json.loads((REPO / "reports" / "bench_matrix_r4.json").read_text(encoding="utf-8"))
+    r5 = json.loads((REPO / "reports" / "bench_matrix_r5.json").read_text(encoding="utf-8"))
+    rows, failures = compare(r4, r5, 0.05)
+    assert failures == [] and len(rows) == 18
+    assert r5["cells"]["yolov10x/infer"]["batch_size"] == 128
+    assert r5["cells"]["yolov10m/train"]["batch_size"] == 128
+
+
 def test_r5_multisize_baseline_loads_and_self_compares():
     """Round-5 multi-size cells (s/x at 320/960/1280, topk + class-wise NMS,
     best measured batch size — s cells pinned at bs128 per the sub-128-batch

@@ -29,10 +29,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # "nms" is the class-wise greedy-NMS decode path (BASELINE config 3,
 # behavioral spec reference leanyolo/models/yolov10/export.py:145-198);
 # same forward as "infer", so the same batch sizes apply.
+# Round-5 re-sweep under the full-128-lane-tile rule: yolov10x infer/nms
+# move 32 -> 128 (+30%; 96/160 are worse — the full tile is what matters)
+# and yolov10m train 64 -> 128 (+17.6%). yolov10b/l train at bs128 are
+# compile-infra-blocked (axon remote-compile helper exits 1, twice);
+# yolov10x train bs64 REGRESSES (94.2 vs 119.4) — both stay pinned.
 BEST_BS = {
-    "infer": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 128, "yolov10b": 128, "yolov10l": 128, "yolov10x": 32},
-    "nms": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 128, "yolov10b": 128, "yolov10l": 128, "yolov10x": 32},
-    "train": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 64, "yolov10b": 64, "yolov10l": 64, "yolov10x": 32},
+    "infer": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 128, "yolov10b": 128, "yolov10l": 128, "yolov10x": 128},
+    "nms": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 128, "yolov10b": 128, "yolov10l": 128, "yolov10x": 128},
+    "train": {"yolov10n": 128, "yolov10s": 128, "yolov10m": 128, "yolov10b": 64, "yolov10l": 64, "yolov10x": 32},
 }
 
 
